@@ -47,9 +47,9 @@ def main():
     soup = TriangleSoup.from_vertices(tris)
     n = len(soup)
 
-    # warmup (compile)
-    warm = TriangleSoup.from_vertices(tris[: max(1024, n // 64)])
-    for _ in voxelize_soup(warm, resolution=resolution, strategy=BLEND_STRATEGY):
+    # warmup (compile): full configuration so the timed run hits only cached
+    # executables
+    for _ in voxelize_soup(soup, resolution=resolution, strategy=BLEND_STRATEGY):
         pass
 
     t0 = time.perf_counter()

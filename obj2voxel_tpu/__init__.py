@@ -25,7 +25,7 @@ from .constants import (
     UV_WRAP,
     VERSION,
 )
-from .engine import TriangleSoup, voxelize_soup
+from .engine import TriangleSoup, densify, voxelize_batch, voxelize_soup
 from .ops.color import TexturePool
 
 __version__ = VERSION
@@ -37,6 +37,8 @@ __all__ = [
     "TriangleSoup",
     "TexturePool",
     "voxelize_soup",
+    "voxelize_batch",
+    "densify",
     "set_log_level",
     "get_log_level",
     "set_log_callback",

@@ -106,6 +106,13 @@ def main(argv=None) -> int:
     if args.resolution >= 1024 * 1024:
         log.warning(f"Very high resolution ({args.resolution}), intentional?")
 
+    import os
+
+    if os.environ.get("O2V_DUMP_STL"):
+        from .io import debug_stl
+
+        debug_stl.enable(os.environ["O2V_DUMP_STL"])
+
     inst = Instance()
     inst.set_input_file(args.input_file, in_type)
     inst.set_output_file(args.output_file, out_type)
@@ -127,6 +134,11 @@ def main(argv=None) -> int:
     )
 
     result = inst.voxelize()
+
+    if os.environ.get("O2V_DUMP_STL"):
+        from .io import debug_stl
+
+        debug_stl.flush()
 
     elapsed = time.perf_counter() - start
     log.info(f"Done! ({elapsed:.3f} s)")

@@ -7,126 +7,170 @@ clip each (triangle, voxel) pair's polygon with a branch-free, fixed-capacity
 Sutherland-Hodgman pass over the voxel's six planes, batched over a whole tile
 of pairs at once.
 
+Layout
+------
+The pair dimension P is kept as the LAST axis of every array so each operation
+is a [P]-wide vector op on the VPU (P maps onto the 8x128 lanes); the small
+polygon-slot and channel dimensions are static Python loops that unroll at
+trace time.  Polygons use a *closed* representation -- slot[count] duplicates
+slot[0] -- so the edge walk (i, i+1) needs no per-pair ring indexing.
+
 Epsilon/bias semantics
 ----------------------
 The reference classifies vertices per plane as `lo` (v < plane), `planar`
 (|v - plane| < EPSILON) and routes planar geometry to the *hi* side
-(IS_LO_BIASED = false, reference voxelization.cpp:108-127, 192-237).  For pure
-occupancy/area purposes that case analysis is equivalent to clipping against a
-half-open, epsilon-shifted box:
+(IS_LO_BIASED = false, reference voxelization.cpp:108-127, 192-237), with one
+exception: a triangle whose vertices are ALL strictly lo is routed lo even if
+they are also planar (cases (3,*), voxelization.cpp:201-205).  For occupancy
+and area purposes that is equivalent to clipping with:
 
-* keep-hi clip at plane p (reference DISCARD_LO):  inside  <=>  v > p - EPSILON
-* keep-lo clip at plane p (reference DISCARD_HI):  inside  <=>  v <= p - EPSILON
+* keep-hi clip at plane p (reference DISCARD_LO):
+    empty if all vertices lo; else inside  <=>  v > p - EPSILON
+* keep-lo clip at plane p (reference DISCARD_HI):
+    whole polygon if all vertices lo; else inside  <=>  v <= p - EPSILON
 
 so a triangle lying exactly on a voxel boundary plane belongs to the voxel on
-the +side of that plane, exactly like the reference.  Pieces that survive the
-reference's routing but have zero area (slivers on a boundary) get zero weight
-here and are dropped, which again matches the observable output (the reference
-drops zero-weight UV entries, voxelization.cpp:466-467).
+the +side, exactly like the reference.  Pieces that survive the reference's
+routing with zero area get zero weight here and are dropped, which matches the
+observable output (the reference drops zero-weight UVs, voxelization.cpp:466).
 
 Weighting
 ---------
-The reference weights each surviving piece with the *whole input triangle's*
+The reference weights each surviving piece with the whole input triangle's
 area (voxelization.cpp:416-417), making the final per-voxel weight
-`area * piece_count` with a decomposition-dependent piece count.  We instead use
-the clipped polygon's actual area as the weight and its area-weighted UV
-centroid -- the behavior the reference's README documents (README.adoc:287-290)
-and a decomposition-independent, better-defined quantity.  Occupancy (weight>0)
-is identical; blended colors are equivalent up to the reference's
-piece-count quirk.
+`area * piece_count` with a decomposition-dependent piece count.  We use the
+clipped polygon's actual area and its area-weighted UV centroid -- the
+behavior the reference's README documents (README.adoc:287-290) and a
+decomposition-independent quantity.  Occupancy (weight > 0) is identical.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
 import jax.numpy as jnp
 
 from ..constants import EPSILON
 
-
-def _ring_next(count, capacity):
-    """Index of each slot's successor in a ring of `count` valid slots."""
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    nxt = idx + 1
-    return jnp.where(nxt[None, :] >= count[:, None], 0, nxt[None, :])
+#: channels per polygon slot: x, y, z, u, v
+_NCH = 5
 
 
-def _clip_one_plane(pos, uv, count, axis, plane, keep_hi):
-    """One Sutherland-Hodgman clipping pass for a batch of polygons.
+def _clip_one_plane(slots, count, axis, plane, keep_hi):
+    """One Sutherland-Hodgman pass over a batch of closed polygons.
 
-    pos:   (P, C, 3) float32 polygon vertices
-    uv:    (P, C, 2) float32 per-vertex UVs
-    count: (P,)      int32   number of valid vertices per polygon
-    axis:  python int in [0, 3)
-    plane: (P,) float32 plane offset
-    keep_hi: python bool -- True keeps the +side (reference DISCARD_LO).
+    slots: list of C arrays, each (5, P) float32; closed representation
+           (slots[count] == slots[0] per pair).
+    count: (P,) int32 number of distinct vertices.
+    plane: (P,) float32; axis: python int; keep_hi: python bool.
 
-    Returns (pos', uv', count') with capacity C+1.
+    Returns (slots', count') with len(slots') == len(slots) + 1.
     """
-    P, C = pos.shape[0], pos.shape[1]
-    cout = C + 1
+    C = len(slots)
+    f32 = slots[0].dtype
 
-    idx = jnp.arange(C, dtype=jnp.int32)
-    valid = idx[None, :] < count[:, None]  # (P, C)
-    nxt = _ring_next(count, C)  # (P, C)
+    vals = [s[axis] for s in slots]  # batch-shaped each
 
-    v = pos[:, :, axis]  # (P, C)
-    p = plane[:, None]
-    # The reference's case analysis routes a polygon whose vertices are ALL
-    # strictly lo (v < plane) entirely to the lo side, even when some/all of
-    # them are also within EPSILON of the plane (splitTriangle cases (3,*),
-    # reference voxelization.cpp:201-205).  The per-vertex epsilon rule alone
-    # would misclassify those, so the all-lo case bypasses it.
-    all_lo = jnp.all((v < p) | ~valid, axis=1, keepdims=True)
-    if keep_hi:
-        inside = ((p - v) < EPSILON) & ~all_lo  # v > p - EPS, unless all-lo
-    else:
-        inside = all_lo | ((v < p) & ((p - v) >= EPSILON))  # v <= p - EPS
+    # vertex validity: slot i holds a distinct vertex iff i < count
+    valid = [(jnp.int32(i) < count) for i in range(C)]
 
-    take = functools.partial(jnp.take_along_axis, axis=1)
-    inside_nxt = take(inside, nxt)
-    pos_nxt = take(pos, nxt[:, :, None])
-    uv_nxt = take(uv, nxt[:, :, None])
-    v_nxt = pos_nxt[:, :, axis]
+    # all-lo over the distinct vertices (see module docstring)
+    all_lo = None
+    for i in range(C - 1):  # count <= C-1 in closed representation
+        lo_i = (vals[i] < plane) | ~valid[i]
+        all_lo = lo_i if all_lo is None else (all_lo & lo_i)
 
-    crossing = inside != inside_nxt
-    emit_cur = inside & valid
-    emit_isect = crossing & valid
+    inside = []
+    for i in range(C):
+        if keep_hi:
+            ins = ((plane - vals[i]) < EPSILON) & ~all_lo
+        else:
+            ins = all_lo | ((vals[i] < plane) & ((plane - vals[i]) >= EPSILON))
+        inside.append(ins)
 
-    # Edge/plane intersection parameter, matching the reference's
-    # intersect_ray_axisPlane (voxelization.cpp:27-31): d = v - v_nxt,
-    # t = 0 when |d| < EPSILON else (v - plane) / d; point = mix(cur, nxt, t).
-    d = v - v_nxt
-    t = jnp.where(jnp.abs(d) < EPSILON, 0.0, (v - p) / jnp.where(d == 0, 1.0, d))
-    t3 = t[:, :, None]
-    isect_pos = (1.0 - t3) * pos + t3 * pos_nxt
-    isect_uv = (1.0 - t3) * uv + t3 * uv_nxt
+    # edges (i, i+1) for i < count; emissions and running destination offsets
+    prefix = jnp.zeros_like(count)
+    emit_cur, emit_x, dest_cur, dest_x, isect = [], [], [], [], []
+    for i in range(C - 1):
+        edge_valid = valid[i]  # i < count
+        e_cur = inside[i] & edge_valid
+        e_x = (inside[i] != inside[i + 1]) & edge_valid
+        emit_cur.append(e_cur)
+        emit_x.append(e_x)
+        dest_cur.append(prefix)
+        prefix = prefix + e_cur.astype(jnp.int32)
+        dest_x.append(prefix)
+        prefix = prefix + e_x.astype(jnp.int32)
 
-    # Output slot for each emission: exclusive prefix sum of emission counts.
-    counts = emit_cur.astype(jnp.int32) + emit_isect.astype(jnp.int32)
-    incl = jnp.cumsum(counts, axis=1)
-    offs = incl - counts  # exclusive
-    dest_cur = offs
-    dest_isect = offs + emit_cur.astype(jnp.int32)
-    new_count = incl[:, -1]
+        # intersection of edge (i, i+1) with the plane, matching the
+        # reference's intersect_ray_axisPlane (voxelization.cpp:27-31)
+        d = vals[i] - vals[i + 1]
+        t = jnp.where(
+            jnp.abs(d) < EPSILON, 0.0, (vals[i] - plane) / jnp.where(d == 0, 1.0, d)
+        ).astype(f32)
+        isect.append((1.0 - t) * slots[i] + t * slots[i + 1])
 
-    # Scatter via one-hot contraction (branch-free; small static dims).
-    slots = jnp.arange(cout, dtype=jnp.int32)
-    oh_cur = ((dest_cur[:, :, None] == slots[None, None, :]) & emit_cur[:, :, None]).astype(
-        pos.dtype
-    )
-    oh_isect = (
-        (dest_isect[:, :, None] == slots[None, None, :]) & emit_isect[:, :, None]
-    ).astype(pos.dtype)
+    new_count = prefix
 
-    # precision=HIGHEST keeps the contraction in f32: coordinates are exact
-    # inputs here, and the default (bf16) matmul path would round them.
-    ee = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
-    out_pos = ee("pcs,pcd->psd", oh_cur, pos) + ee("pcs,pcd->psd", oh_isect, isect_pos)
-    out_uv = ee("pcs,pcd->psd", oh_cur, uv) + ee("pcs,pcd->psd", oh_isect, isect_uv)
-    return out_pos, out_uv, new_count
+    # scatter emissions into output slots (static double loop; dest_cur[i]
+    # <= 2i and dest_x[i] <= 2i+1, so slots beyond that are unreachable)
+    C_out = C + 1
+    out = []
+    for s in range(C_out):
+        acc = jnp.zeros_like(slots[0])
+        for i in range(C - 1):
+            if s > 2 * i + 1:
+                continue
+            m_cur = emit_cur[i] & (dest_cur[i] == s)
+            acc = acc + jnp.where(m_cur, slots[i], 0.0)
+            m_x = emit_x[i] & (dest_x[i] == s)
+            acc = acc + jnp.where(m_x, isect[i], 0.0)
+        out.append(acc)
+
+    # close the polygon: slot[new_count] = slot[0]
+    closed = [out[0]]
+    for s in range(1, C_out):
+        closed.append(out[s] + jnp.where(new_count == s, out[0], 0.0))
+
+    return closed, new_count
+
+
+def _clip_polygons(slots, count, voxel_f):
+    """Run all six plane clips in the reference's order
+    (voxelization.cpp:388-405): keep-hi at pos[axis], then keep-lo at
+    pos[axis]+1, axes x,y,z each."""
+    for hi in (False, True):
+        for axis in range(3):
+            plane = voxel_f[axis] + (1.0 if hi else 0.0)
+            slots, count = _clip_one_plane(slots, count, axis, plane, keep_hi=not hi)
+    return slots, count
+
+
+def _area_uv(slots, count):
+    """Area + area-weighted UV centroid via a triangle fan from slot 0.
+
+    Returns (weight, uv_u, uv_v), each batch-shaped like `count`."""
+    C = len(slots)
+
+    x0, y0, z0, u0, v0 = slots[0]
+    weight = jnp.zeros_like(x0)
+    uv_num_u = jnp.zeros_like(x0)
+    uv_num_v = jnp.zeros_like(x0)
+    for i in range(1, C - 1):
+        a = slots[i]
+        b = slots[i + 1]
+        ax, ay, az = a[0] - x0, a[1] - y0, a[2] - z0
+        bx, by, bz = b[0] - x0, b[1] - y0, b[2] - z0
+        cx = ay * bz - az * by
+        cy = az * bx - ax * bz
+        cz = ax * by - ay * bx
+        piece_valid = jnp.int32(i + 1) < count
+        area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        area = jnp.where(piece_valid, area, 0.0)
+        weight = weight + area
+        uv_num_u = uv_num_u + area * ((u0 + a[3] + b[3]) / 3.0)
+        uv_num_v = uv_num_v + area * ((v0 + a[4] + b[4]) / 3.0)
+
+    safe_w = jnp.where(weight > 0, weight, 1.0)
+    return weight, uv_num_u / safe_w, uv_num_v / safe_w
 
 
 def clip_triangles_to_voxels(verts, uvs, voxel_pos):
@@ -140,45 +184,23 @@ def clip_triangles_to_voxels(verts, uvs, voxel_pos):
       weight: (P,) float32 -- clipped polygon area; 0 where the triangle does
               not occupy the voxel under the reference's epsilon rules.
       uv:     (P, 2) float32 -- area-weighted UV centroid of the clipped region.
-
-    Plane order matches the reference (voxelization.cpp:388-405): first the
-    keep-hi clips at pos[axis] for axes x,y,z, then the keep-lo clips at
-    pos[axis]+1.
     """
-    vox = voxel_pos.astype(jnp.float32)
-    pos = verts.astype(jnp.float32)
-    uv = uvs.astype(jnp.float32)
-    count = jnp.full((pos.shape[0],), 3, dtype=jnp.int32)
+    P = verts.shape[0]
+    f32 = jnp.float32
+    verts = verts.astype(f32)
+    uvs = uvs.astype(f32)
+    voxel_f = [voxel_pos[:, a].astype(f32) for a in range(3)]
 
-    for hi in (False, True):
-        for axis in range(3):
-            plane = vox[:, axis] + (1.0 if hi else 0.0)
-            pos, uv, count = _clip_one_plane(pos, uv, count, axis, plane, keep_hi=not hi)
+    def slot(i):
+        return jnp.stack(
+            [verts[:, i, 0], verts[:, i, 1], verts[:, i, 2], uvs[:, i, 0], uvs[:, i, 1]],
+            axis=0,
+        )
 
-    return polygon_area_uv(pos, uv, count)
+    s0 = slot(0)
+    slots = [s0, slot(1), slot(2), s0]  # closed triangle
+    count = jnp.full((P,), 3, jnp.int32)
 
-
-def polygon_area_uv(pos, uv, count):
-    """Area + area-weighted UV centroid of planar polygons via a triangle fan.
-
-    pos: (P, C, 3), uv: (P, C, 2), count: (P,).  Fan pieces (0, i, i+1) for
-    i in [1, count-1).  Degenerate polygons (count < 3) get zero area.
-    """
-    C = pos.shape[1]
-    e = pos - pos[:, :1, :]  # edges from vertex 0
-    # cross(e_i, e_{i+1}) for i = 1..C-2
-    a = e[:, 1 : C - 1, :]
-    b = e[:, 2:C, :]
-    cr = jnp.cross(a, b)
-    i = jnp.arange(1, C - 1, dtype=jnp.int32)
-    piece_valid = (i[None, :] + 1) < count[:, None]
-    piece_area = 0.5 * jnp.linalg.norm(cr, axis=-1) * piece_valid.astype(pos.dtype)
-
-    uv0 = uv[:, :1, :]
-    piece_uv = (uv0 + uv[:, 1 : C - 1, :] + uv[:, 2:C, :]) / 3.0
-
-    weight = jnp.sum(piece_area, axis=1)
-    uv_num = jnp.sum(piece_area[:, :, None] * piece_uv, axis=1)
-    safe_w = jnp.where(weight > 0, weight, 1.0)
-    uv_out = uv_num / safe_w[:, None]
-    return weight, uv_out
+    slots, count = _clip_polygons(slots, count, voxel_f)
+    weight, uv_u, uv_v = _area_uv(slots, count)
+    return weight, jnp.stack([uv_u, uv_v], axis=-1)

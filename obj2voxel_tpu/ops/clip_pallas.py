@@ -1,0 +1,102 @@
+"""Pallas TPU kernel for the triangle/voxel clip core.
+
+Wraps the shape-agnostic Sutherland-Hodgman pipeline from `clip.py` in a
+`pallas_call` so the entire per-pair computation (polygon slots, plane clips,
+area/UV reduction) stays in VMEM/vector registers for a block of pairs instead
+of round-tripping ~3000 elementwise intermediates through HBM, and so XLA sees
+one custom call instead of a huge fused graph (compile time).
+
+Layout: pairs are channel-major.
+  tri_data: (16, P) f32 -- rows 0..8 vertex coords (x0 y0 z0 x1 y1 z1 x2 y2 z2),
+            rows 9..14 UVs (u0 v0 u1 v1 u2 v2), row 15 padding.
+  vox_data: (4, P) f32 -- rows 0..2 voxel min corner, row 3 padding.
+Output:
+  out:      (4, P) f32 -- rows: weight, uv_u, uv_v, padding.
+
+P must be a multiple of the block size (engine tiles are pow2 >= 4096).
+The pure-jnp `clip_triangles_to_voxels` remains the CPU/interpret oracle
+(SURVEY.md section 4: interpreter path as the oracle for TPU kernels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .clip import _area_uv, _clip_polygons
+
+#: pairs per grid step; slots grow to 10 x 5 x B f32 (~200 B/pair) in VMEM.
+BLOCK = 4096
+
+
+def _kernel(tri_ref, vox_ref, out_ref):
+    t = tri_ref[...]  # (16, B) f32
+    v = vox_ref[...]  # (4, B) f32
+
+    def slot(i):
+        # (5, B): x, y, z, u, v of vertex i
+        return jnp.concatenate(
+            [t[3 * i : 3 * i + 3, :], t[9 + 2 * i : 9 + 2 * i + 2, :]], axis=0
+        )
+
+    s0 = slot(0)
+    slots = [s0, slot(1), slot(2), s0]  # closed triangle
+    count = jnp.full((1, t.shape[1]), 3, jnp.int32)
+    voxel_f = [v[0:1, :], v[1:2, :], v[2:3, :]]
+
+    slots, count = _clip_polygons(slots, count, voxel_f)
+    weight, uv_u, uv_v = _area_uv(slots, count)
+
+    out_ref[...] = jnp.concatenate(
+        [weight, uv_u, uv_v, jnp.zeros_like(weight)], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def clip_pairs_pallas(tri_data, vox_data, interpret=False):
+    """tri_data (16, P) f32, vox_data (4, P) f32 -> (4, P) f32 (w, u, v, 0)."""
+    P = tri_data.shape[1]
+    block = min(BLOCK, P)
+    assert P % block == 0, (P, block)
+    grid = P // block
+
+    return pl.pallas_call(
+        _kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
+        interpret=interpret,
+    )(tri_data, vox_data)
+
+
+def clip_triangles_to_voxels_pallas(verts, uvs, voxel_pos, interpret=False):
+    """Drop-in equivalent of clip.clip_triangles_to_voxels via the TPU kernel.
+
+    verts (P,3,3), uvs (P,3,2), voxel_pos (P,3) -> (weight (P,), uv (P,2)).
+    """
+    P = verts.shape[0]
+    tri_data = jnp.concatenate(
+        [
+            verts.reshape(P, 9).T.astype(jnp.float32),
+            uvs.reshape(P, 6).T.astype(jnp.float32),
+            jnp.zeros((1, P), jnp.float32),
+        ],
+        axis=0,
+    )
+    vox_data = jnp.concatenate(
+        [
+            voxel_pos.T.astype(jnp.float32),
+            jnp.zeros((1, P), jnp.float32),
+        ],
+        axis=0,
+    )
+    out = clip_pairs_pallas(tri_data, vox_data, interpret=interpret)
+    return out[0], out[1:3].T

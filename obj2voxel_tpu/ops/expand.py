@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def triangle_aabbs(verts, resolution, z_lo=0, z_hi=None):
+def triangle_aabbs(verts, resolution, z_lo=0, z_hi=None, g0=None, g1=None):
     """Voxel AABBs of transformed triangles, clamped to the grid / z-slab.
 
     verts: (N, 3, 3) float32 in voxel-grid space.
@@ -39,20 +39,25 @@ def triangle_aabbs(verts, resolution, z_lo=0, z_hi=None):
     tmin = jnp.clip(vmin, lo, hi)
     tmax = jnp.clip(vmax, lo, hi)
     sizes = jnp.maximum(tmax - tmin, 0)
+    if g0 is not None:
+        # restrict to a triangle group [g0, g1): the host splits huge meshes
+        # into groups whose total pair count stays below 2^31, keeping all
+        # device-side offset arithmetic in native int32 (TPU has no int64)
+        idx = jnp.arange(sizes.shape[0], dtype=jnp.int32)
+        in_group = (idx >= g0) & (idx < g1)
+        sizes = jnp.where(in_group[:, None], sizes, 0)
     return tmin, sizes
 
 
 def pair_offsets(sizes):
-    """Exclusive cumsum of AABB volumes -> (starts (N,) int64, total int64).
+    """Exclusive cumsum of AABB volumes -> (starts (N,) int32, total int32).
 
-    int64 throughout: a large mesh's total candidate-pair count easily exceeds
-    2^31 (10M triangles x hundreds of candidate voxels each).
-    """
-    s = sizes.astype(jnp.int64)
-    counts = s[:, 0] * s[:, 1] * s[:, 2]
+    Callers must guarantee the total fits int32 (the engine groups triangles
+    on the host so each group's pair total is < 2^30)."""
+    counts = sizes[:, 0] * sizes[:, 1] * sizes[:, 2]
     incl = jnp.cumsum(counts)
     starts = incl - counts
-    total = incl[-1] if counts.shape[0] else jnp.int64(0)
+    total = incl[-1] if counts.shape[0] else jnp.int32(0)
     return starts, total
 
 
@@ -63,16 +68,16 @@ def expand_tile(starts, total, tmin, sizes, tile_start, tile_size):
     Loop order matches the reference: x fastest, then y, then z
     (voxelization.cpp:446-448).
     """
-    g = jnp.asarray(tile_start, jnp.int64) + jnp.arange(tile_size, dtype=jnp.int64)
+    g = jnp.asarray(tile_start, jnp.int32) + jnp.arange(tile_size, dtype=jnp.int32)
     tri = jnp.searchsorted(starts, g, side="right").astype(jnp.int32) - 1
     tri = jnp.clip(tri, 0, starts.shape[0] - 1)
     local = g - starts[tri]
-    s = sizes[tri].astype(jnp.int64)
+    s = sizes[tri]
     sx = jnp.maximum(s[:, 0], 1)
     sy = jnp.maximum(s[:, 1], 1)
     x = local % sx
     y = (local // sx) % sy
     z = local // (sx * sy)
-    voxel = tmin[tri] + jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+    voxel = tmin[tri] + jnp.stack([x, y, z], axis=-1)
     valid = g < total
     return tri, voxel, valid

@@ -19,11 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..constants import MAX_STRATEGY
+from ..constants import BLEND_STRATEGY, MAX_STRATEGY
 from ..geometry import compute_mesh_transform, mesh_bounds
 from ..ops.clip import clip_triangles_to_voxels
 from ..ops.color import TexturePool, sample_pair_colors
-from ..ops.combine import combine_pairs
+from ..ops.combine import combine_pairs, finalize_colors, pack_argb
 from ..ops.expand import expand_tile, pair_offsets, triangle_aabbs
 
 
@@ -46,7 +46,9 @@ def _per_device_voxelize(
 
     stride = jnp.int32(resolution)
     key = (voxel[:, 2] - z_lo) * (stride * stride) + voxel[:, 1] * stride + voxel[:, 0]
-    keys, vals, count = combine_pairs(key.astype(jnp.int32), weight, colors, strategy)
+    keys, vals, count = combine_pairs(
+        key.astype(jnp.int32), weight, colors, strategy == BLEND_STRATEGY
+    )
 
     total_count = jax.lax.psum(count, "z")
     return keys[None], vals[None], count[None], z_lo[None], total_count[None]
@@ -109,7 +111,15 @@ def voxelize_sharded(
     Intended for moderate-size meshes that fit one pair tile per device slab;
     the streaming single-device engine handles everything else this round.
     """
-    from ..engine import _finalize  # reuse the finalize stage
+
+    @jax.jit
+    def _finalize(keys, vals, z_base, stride):
+        x = keys % stride
+        y = (keys // stride) % stride
+        z = keys // (stride * stride) + z_base
+        xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+        argb = pack_argb(finalize_colors(vals))
+        return xyz, argb
 
     n = len(soup)
     if n == 0:
@@ -151,7 +161,6 @@ def voxelize_sharded(
             jnp.asarray(vals[d]),
             jnp.int32(z_los[d]),
             jnp.int32(resolution),
-            strategy,
         )
         out_xyz.append(np.asarray(xyz)[:c])
         out_argb.append(np.asarray(argb)[:c])

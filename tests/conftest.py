@@ -5,6 +5,9 @@ multi-chip sharding tests run without TPU hardware (the analog of the
 reference's serial-vs-parallel duality, SURVEY.md section 4)."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The harness environment pre-registers a TPU platform plugin that overrides
 # JAX_PLATFORMS, so pinning tests to CPU requires both the env var AND an

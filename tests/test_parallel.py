@@ -1,0 +1,53 @@
+"""Multi-device sharded voxelization on the virtual 8-device CPU mesh
+(the analog of the reference's parallel worker tests, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from obj2voxel_tpu.engine import TriangleSoup, voxelize_soup
+from obj2voxel_tpu.parallel.mesh import voxelize_sharded
+
+from conftest import (
+    UNIT_CUBE_QUADS,
+    UNIT_CUBE_VERTICES,
+    expected_unit_cube_voxels,
+    quads_to_tris,
+)
+
+
+@pytest.fixture(scope="module")
+def cube_soup():
+    return TriangleSoup.from_vertices(
+        quads_to_tris(UNIT_CUBE_VERTICES, UNIT_CUBE_QUADS)
+    )
+
+
+def test_sharded_matches_expected_count(cube_soup):
+    r = 16
+    xyz, argb = voxelize_sharded(cube_soup, resolution=r, n_devices=8, tile_size=1 << 12)
+    assert xyz.shape[0] == expected_unit_cube_voxels(r)
+    assert argb.shape[0] == xyz.shape[0]
+    # no duplicate voxels across device slabs
+    keys = {tuple(v) for v in xyz}
+    assert len(keys) == xyz.shape[0]
+
+
+def test_sharded_matches_single_device(cube_soup, pair_tile):
+    r = 16
+    xyz_s, argb_s = voxelize_sharded(
+        cube_soup, resolution=r, n_devices=8, tile_size=1 << 12
+    )
+    sharded = {tuple(v): int(c) for v, c in zip(xyz_s, argb_s)}
+
+    single = {}
+    for xyz, argb in voxelize_soup(cube_soup, resolution=r, pair_tile=pair_tile):
+        for v, c in zip(xyz, argb):
+            single[tuple(v)] = int(c)
+
+    assert sharded == single
+
+
+def test_sharded_odd_device_count(cube_soup):
+    r = 16
+    xyz, _ = voxelize_sharded(cube_soup, resolution=r, n_devices=3, tile_size=1 << 12)
+    assert xyz.shape[0] == expected_unit_cube_voxels(r)
