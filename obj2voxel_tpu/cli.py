@@ -105,6 +105,8 @@ def main(argv=None) -> int:
 
     if args.resolution >= 1024 * 1024:
         log.warning(f"Very high resolution ({args.resolution}), intentional?")
+    if args.threads == 1:
+        log.warning("Running with one worker thread is usually pointless; better use -j 0")
 
     import os
 

@@ -33,8 +33,10 @@ ANTI_BLEED = 0.5
 #: (reference CHUNK_SIZE, constants.hpp:10).
 CHUNK_SIZE = 64
 
-#: Number of (triangle, voxel) candidate pairs processed per device kernel launch.
-PAIR_TILE = 1 << 20
+#: Pair slots per tile inside a fused slab pass.  Smaller tiles waste fewer
+#: slots on per-bucket padding (each bucket pads its slot domain to whole
+#: tiles) at the cost of more loop iterations.
+PAIR_TILE = 1 << 18
 
 #: Triangle counts are padded up to multiples of this to bound jit recompiles.
 TRIANGLE_PAD = 1 << 12

@@ -53,18 +53,18 @@ from .ops.combine import (
     finalize_colors,
     merge_combined,
     pack_argb,
-    premultiply,
-    sort_pairs,
 )
-from .ops.expand import expand_tile, pair_offsets, triangle_aabbs
+from .ops.expand_bucket import plan_slab
 from .ops.subdivide import subdivide_soup
 
 #: Maximum pairs materialized per device pass (raw buffer ~20 B/pair).
-MAX_PASS_BUDGET = 1 << 25
+#: Capped at 2^21: the environment's TPU compile helper is OOM-killed on
+#: larger fused programs; bigger workloads run as multiple merged passes.
+MAX_PASS_BUDGET = 1 << 21
 
 #: Allowed pass-buffer sizes.  Each distinct size costs one (cached) XLA
 #: compile of the fused slab kernel, so the ladder is deliberately coarse.
-BUDGET_LADDER = (1 << 18, 1 << 21, 1 << 23, 1 << 25)
+BUDGET_LADDER = (1 << 18, 1 << 21)
 
 
 def _ladder_budget(n: int, pair_tile: int, max_budget: int) -> int:
@@ -171,66 +171,8 @@ def _transform_verts(verts, matrix, translation):
     return (out + translation).astype(jnp.float32)
 
 
-@jax.jit
-def _device_aabbs(verts_t, resolution, z_lo, z_hi, g0, g1):
-    tmin, sizes = triangle_aabbs(verts_t, resolution, z_lo, z_hi, g0, g1)
-    starts, total = pair_offsets(sizes)
-    return tmin, sizes, starts, total
-
-
-@functools.partial(jax.jit, static_argnames=("budget", "tile", "use_pallas"))
-def _slab_pass(
-    verts_t,
-    uvs,
-    types,
-    rgb,
-    tex,
-    pixels,
-    meta,
-    tmin,
-    sizes,
-    starts,
-    total,
-    pass_start,
-    z_lo,
-    stride,
-    is_blend,
-    do_downscale,
-    *,
-    budget,
-    tile,
-    use_pallas,
-):
-    """One fused pass: fill `budget` raw pairs starting at global pair index
-    `pass_start`, then combine.  Returns (keys, vals, xyz, argb, count)."""
-    n_tiles = budget // tile
-
-    raw_key = jnp.full((budget,), INVALID_KEY, jnp.int32)
-    raw_w = jnp.zeros((budget,), jnp.float32)
-    raw_rgb = jnp.zeros((budget, 3), jnp.float32)
-
-    def body(i, carry):
-        rk, rw, rc = carry
-        tile_start = pass_start + i * tile
-        tri, voxel, valid = expand_tile(starts, total, tmin, sizes, tile_start, tile)
-        if use_pallas:
-            w, uv = clip_triangles_to_voxels_pallas(verts_t[tri], uvs[tri], voxel)
-        else:
-            w, uv = clip_triangles_to_voxels(verts_t[tri], uvs[tri], voxel)
-        w = jnp.where(valid, w, 0.0)
-        colors = sample_pair_colors(uv, types[tri], rgb[tri], tex[tri], pixels, meta)
-        key = (voxel[:, 2] - z_lo) * (stride * stride) + voxel[:, 1] * stride + voxel[:, 0]
-        key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
-        off = i * tile
-        rk = jax.lax.dynamic_update_slice(rk, key, (off,))
-        rw = jax.lax.dynamic_update_slice(rw, w.astype(jnp.float32), (off,))
-        rc = jax.lax.dynamic_update_slice(rc, colors.astype(jnp.float32), (off, 0))
-        return rk, rw, rc
-
-    raw_key, raw_w, raw_rgb = jax.lax.fori_loop(
-        0, n_tiles, body, (raw_key, raw_w, raw_rgb)
-    )
-
+def _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale):
+    """Shared tail of a pass: sort+combine, optional downscale, finalize."""
     keys, vals, count = combine_pairs(raw_key, raw_w, raw_rgb, is_blend)
 
     def down(args):
@@ -250,6 +192,102 @@ def _slab_pass(
     xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
     argb = pack_argb(finalize_colors(vals))
     return keys, vals, xyz, argb, count
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "tile", "use_pallas"))
+def _slab_pass_bucketed(
+    verts_t,
+    uvs,
+    types,
+    rgb,
+    tex,
+    pixels,
+    meta,
+    idx,
+    shifts,
+    idx_base,
+    local_base,
+    n_tiles,
+    z_lo,
+    z_hi,
+    stride,
+    is_blend,
+    do_downscale,
+    *,
+    budget,
+    tile,
+    use_pallas,
+):
+    """One fused pass over bucketed pair tiles (see ops/expand_bucket.py).
+
+    Triangle AABBs are recomputed in-register from the gathered vertices
+    (cheaper than gathering precomputed AABB arrays), and the within-AABB rank
+    is decoded with shifts/masks plus two small-divisor divisions -- no
+    searchsorted on the hot path."""
+    raw_key = jnp.full((budget,), INVALID_KEY, jnp.int32)
+    raw_w = jnp.zeros((budget,), jnp.float32)
+    raw_rgb = jnp.zeros((budget, 3), jnp.float32)
+
+    n_idx = idx.shape[0]
+    n_meta = shifts.shape[0]
+
+    def body(i, carry):
+        rk, rw, rc = carry
+        im = jnp.minimum(i, n_meta - 1)
+        k = shifts[im]
+        ib = idx_base[im]
+        lb = local_base[im]
+
+        j = jnp.arange(tile, dtype=jnp.int32)
+        lplus = lb + j
+        t_slot = jnp.clip(ib + (lplus >> k), 0, n_idx - 1)
+        tri = idx[t_slot]
+        valid = tri >= 0
+        tri_c = jnp.clip(tri, 0, verts_t.shape[0] - 1)
+
+        tv = verts_t[tri_c]
+        tuv = uvs[tri_c]
+
+        # in-register AABB, clamped to grid x/y and this slab's z range
+        vmin = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
+        vmax = jnp.floor(jnp.max(tv, axis=1)).astype(jnp.int32) + 1
+        lo = jnp.stack([jnp.int32(0), jnp.int32(0), z_lo])
+        hi = jnp.stack([stride, stride, z_hi])
+        tmin = jnp.clip(vmin, lo[None, :], hi[None, :])
+        tmax = jnp.clip(vmax, lo[None, :], hi[None, :])
+        s = jnp.maximum(tmax - tmin, 0)
+        sx = jnp.maximum(s[:, 0], 1)
+        sy = jnp.maximum(s[:, 1], 1)
+        vol = s[:, 0] * s[:, 1] * s[:, 2]
+
+        local = lplus & ((jnp.int32(1) << k) - 1)
+        valid = valid & (local < vol)
+
+        x = local % sx
+        rest = local // sx
+        y = rest % sy
+        z = rest // sy
+        voxel = tmin + jnp.stack([x, y, z], axis=-1)
+
+        if use_pallas:
+            w, uv = clip_triangles_to_voxels_pallas(tv, tuv, voxel)
+        else:
+            w, uv = clip_triangles_to_voxels(tv, tuv, voxel)
+        w = jnp.where(valid, w, 0.0)
+        colors = sample_pair_colors(uv, types[tri_c], rgb[tri_c], tex[tri_c], pixels, meta)
+
+        key = (voxel[:, 2] - z_lo) * (stride * stride) + voxel[:, 1] * stride + voxel[:, 0]
+        key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
+        off = i * tile
+        rk = jax.lax.dynamic_update_slice(rk, key, (off,))
+        rw = jax.lax.dynamic_update_slice(rw, w.astype(jnp.float32), (off,))
+        rc = jax.lax.dynamic_update_slice(rc, colors.astype(jnp.float32), (off, 0))
+        return rk, rw, rc
+
+    raw_key, raw_w, raw_rgb = jax.lax.fori_loop(
+        0, jnp.minimum(n_tiles, budget // tile), body, (raw_key, raw_w, raw_rgb)
+    )
+    return _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale)
 
 
 @functools.partial(jax.jit, static_argnames=("budget",))
@@ -408,115 +446,175 @@ def voxelize_grid(
         return
     sample_res = stride
 
-    # Host-side triangle grouping: contiguous ranges whose full-grid pair
-    # total stays below 2^30 so all device offset math fits int32.
+    # Host-side AABBs feed the per-slab bucket planner (x/y grid-clamped,
+    # z left unclamped -- the planner clamps per slab).
     clamp_hi = np.array([stride, stride, z_extent], np.float32)
-    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi)
-    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi)
-    size_h = np.maximum(vmax_h - vmin_h, 0).astype(np.int64)
-    counts_h = size_h[:, 0] * size_h[:, 1] * size_h[:, 2]
-    GROUP_LIMIT = 1 << 30
-    csum = np.cumsum(counts_h)
-    if n_sub == 0 or csum[-1] < GROUP_LIMIT:
-        groups = [(0, n_sub)]
-    else:
-        bounds = [0]
-        while bounds[-1] < n_sub:
-            base = csum[bounds[-1] - 1] if bounds[-1] > 0 else 0
-            nxt = int(np.searchsorted(csum, base + GROUP_LIMIT))
-            nxt = max(nxt, bounds[-1] + 1)  # always make progress
-            bounds.append(min(nxt, n_sub))
-        groups = list(zip(bounds[:-1], bounds[1:]))
+    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi).astype(np.int64)
+    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int64)
 
     n_pad = _pow2_at_least(n_sub)
     verts, uvs, types, rgb, tex = _pad_tris(
         [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
     )
-    verts_t = jnp.asarray(verts)
-    uvs = jnp.asarray(uvs)
-    types = jnp.asarray(types)
-    rgb = jnp.asarray(rgb)
-    tex = jnp.asarray(tex)
+    yield from stream_slabs(
+        jnp.asarray(verts),
+        jnp.asarray(uvs),
+        jnp.asarray(types),
+        jnp.asarray(rgb),
+        jnp.asarray(tex),
+        pixels,
+        meta,
+        aabb_host=(vmin_h, vmax_h),
+        stride=stride,
+        z_extent=z_extent,
+        is_blend=is_blend,
+        do_down=do_down,
+        pair_tile=pair_tile,
+        max_pass_budget=max_pass_budget,
+    )
+
+
+def stream_slabs(
+    verts_t,
+    uvs,
+    types,
+    rgb,
+    tex,
+    pixels,
+    meta,
+    *,
+    aabb_host,
+    stride: int,
+    z_extent: int,
+    is_blend: bool,
+    do_down: bool,
+    pair_tile: int = PAIR_TILE,
+    max_pass_budget: int = MAX_PASS_BUDGET,
+):
+    """Device-resident slab streaming: all triangle arrays already on device
+    and in voxel space.  `aabb_host` is the host-side (vmin, vmax) int64 pair
+    of per-triangle voxel AABBs (vmax exclusive, x/y already grid-clamped),
+    used by the bucket planner."""
+    import time as _time
+
+    timing = _os.environ.get("O2V_TIMING") == "1"
+    sample_res = stride
+    vmin_h, vmax_h = aabb_host
+    tile = min(pair_tile, max_pass_budget)
 
     for z_lo, z_hi in slab_plan(sample_res, z_extent):
+        _t0 = _time.perf_counter()
+        plan = plan_slab(vmin_h, vmax_h, z_lo, z_hi, tile)
+        if plan is None:
+            continue
+        idx_np, shifts_np, idx_base_np, local_base_np, n_tiles = plan
+
+        tiles_per_pass = max(1, max_pass_budget // tile)
+        n_passes = -(-n_tiles // tiles_per_pass)
+        multi = n_passes > 1
         pass_outputs = []
 
-        def group_aabbs(g0, g1):
-            return _device_aabbs(
-                verts_t,
-                jnp.int32(sample_res),
-                jnp.int32(z_lo),
-                jnp.int32(z_hi),
-                jnp.int32(g0),
-                jnp.int32(g1),
+        idx = jnp.asarray(
+            np.pad(idx_np, (0, _pow2_at_least(idx_np.size, 1024) - idx_np.size),
+                   constant_values=-1)
+        )
+        if timing:
+            _t1 = _time.perf_counter()
+            print(
+                f"[o2v-timing] slab z[{z_lo},{z_hi}) plan+upload "
+                f"{(_t1 - _t0) * 1000:.0f}ms tiles={n_tiles}",
+                flush=True,
             )
 
-        # decide up front whether this slab needs the merge path (several
-        # passes whose voxel sets may overlap)
-        totals = []
-        for g0, g1 in groups:
-            if len(groups) == 1:
-                tmin, sizes, starts, total_dev = group_aabbs(g0, g1)
-                totals.append(int(total_dev))
-            else:
-                totals.append(int(group_aabbs(g0, g1)[3]))
-        multi = sum(-(-t // max_pass_budget) for t in totals) > 1
+        # issue passes without per-pass host syncs: collect device handles in
+        # a sliding window so the device pipelines back-to-back passes
+        WINDOW = 8
+        in_flight = []
 
-        for (g0, g1), total in zip(groups, totals):
-            if total == 0:
-                continue
-            if len(groups) > 1:
-                tmin, sizes, starts, _ = group_aabbs(g0, g1)
-
-            n_passes = -(-total // max_pass_budget)
-            for p in range(n_passes):
-                pass_start = p * max_pass_budget
-                pass_pairs = min(max_pass_budget, total - pass_start)
-                budget = _ladder_budget(pass_pairs, pair_tile, max_pass_budget)
-                tile = min(pair_tile, budget)
-                keys, vals, xyz, argb, count = _slab_pass(
-                    verts_t,
-                    uvs,
-                    types,
-                    rgb,
-                    tex,
-                    pixels,
-                    meta,
-                    tmin,
-                    sizes,
-                    starts,
-                    jnp.int32(total),
-                    jnp.int32(pass_start),
-                    jnp.int32(z_lo),
-                    jnp.int32(sample_res),
-                    jnp.bool_(is_blend),
-                    # with several passes downscaling must wait for the merge
-                    jnp.bool_(do_down and not multi),
-                    budget=budget,
-                    tile=tile,
-                    use_pallas=jax.default_backend() != "cpu",
+        def drain(handle):
+            keys, vals, xyz, argb, count = handle
+            c = int(count)
+            if timing:
+                nonlocal _t1
+                _t2 = _time.perf_counter()
+                print(
+                    f"[o2v-timing]   drained pass: {(_t2 - _t1) * 1000:.0f}ms count={c}",
+                    flush=True,
                 )
-                count = int(count)
-                if count == 0:
-                    continue
-                if not multi:
-                    yield _pull(xyz, count), _pull(argb, count)
-                else:
-                    pass_outputs.append((_pull(keys, count), _pull(vals, count)))
+                _t1 = _t2
+            if c == 0:
+                return None
+            if not multi:
+                return _pull(xyz, c), _pull(argb, c)
+            # keep compacted pass outputs ON DEVICE (eager pow2 slice, no
+            # transfer); the slab merge below runs device-side and only the
+            # final result crosses the link
+            p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
+            pass_outputs.append((keys[:p2], vals[:p2], c))
+            return None
+
+        for p in range(n_passes):
+            t0 = p * tiles_per_pass
+            t1 = min(t0 + tiles_per_pass, n_tiles)
+            n_pass_tiles = t1 - t0
+            budget = _ladder_budget(n_pass_tiles * tile, tile, max_pass_budget)
+            meta_pad = budget // tile
+            def pad_meta(a):
+                out = np.zeros(_pow2_at_least(meta_pad, 64), np.int32)
+                out[: n_pass_tiles] = a[t0:t1]
+                return jnp.asarray(out)
+
+            handle = _slab_pass_bucketed(
+                verts_t,
+                uvs,
+                types,
+                rgb,
+                tex,
+                pixels,
+                meta,
+                idx,
+                pad_meta(shifts_np),
+                pad_meta(idx_base_np),
+                pad_meta(local_base_np),
+                jnp.int32(n_pass_tiles),
+                jnp.int32(z_lo),
+                jnp.int32(z_hi),
+                jnp.int32(sample_res),
+                jnp.bool_(is_blend),
+                # with several passes downscaling must wait for the merge
+                jnp.bool_(do_down and not multi),
+                budget=budget,
+                tile=tile,
+                use_pallas=jax.default_backend() != "cpu",
+            )
+            in_flight.append(handle)
+            if len(in_flight) >= WINDOW:
+                out = drain(in_flight.pop(0))
+                if out is not None:
+                    yield out
+
+        for handle in in_flight:
+            out = drain(handle)
+            if out is not None:
+                yield out
 
         if multi and pass_outputs:
-            all_k = np.concatenate([k for k, _ in pass_outputs])
-            all_v = np.concatenate([v for _, v in pass_outputs])
-            m_pad = _pow2_at_least(all_k.shape[0])
-            pad = m_pad - all_k.shape[0]
+            total_rows = sum(k.shape[0] for k, _, _ in pass_outputs)
+            # coarse merge-size ladder bounds compile variants
+            m_pad = next(
+                (b for b in (1 << 12, 1 << 16, 1 << 20, 1 << 22, 1 << 24, 1 << 26)
+                 if b >= total_rows),
+                _pow2_at_least(total_rows),
+            )
+            pad = m_pad - total_rows
+            ks = [k for k, _, _ in pass_outputs]
+            vs = [v for _, v, _ in pass_outputs]
             if pad:
-                all_k = np.concatenate([all_k, np.full(pad, np.int32(2**31 - 1))])
-                all_v = np.concatenate(
-                    [all_v, np.zeros((pad, all_v.shape[1]), all_v.dtype)]
-                )
+                ks.append(jnp.full((pad,), INVALID_KEY, jnp.int32))
+                vs.append(jnp.zeros((pad, 4), jnp.float32))
             xyz, argb, count = _merge_pass(
-                jnp.asarray(all_k),
-                jnp.asarray(all_v),
+                jnp.concatenate(ks),
+                jnp.concatenate(vs),
                 jnp.int32(z_lo),
                 jnp.int32(sample_res),
                 jnp.bool_(is_blend),
@@ -524,6 +622,12 @@ def voxelize_grid(
                 budget=m_pad,
             )
             count = int(count)
+            if timing:
+                print(
+                    f"[o2v-timing]   merge {len(pass_outputs)} passes "
+                    f"rows={total_rows} -> count={count}",
+                    flush=True,
+                )
             if count:
                 yield _pull(xyz, count), _pull(argb, count)
 
