@@ -45,7 +45,7 @@ def run_device_resident(n_target: int, resolution: int):
     import jax.numpy as jnp
 
     from obj2voxel_tpu.constants import ANTI_BLEED, TRI_MATERIALLESS
-    from obj2voxel_tpu.engine import _pow2_at_least, stream_slabs
+    from obj2voxel_tpu.engine import _pow2_at_least, build_tri_table, stream_slabs
     from obj2voxel_tpu.ops.color import TexturePool
 
     # host-generate once (cheap), scale into voxel space like the engine's
@@ -58,14 +58,14 @@ def run_device_resident(n_target: int, resolution: int):
     n_pad = _pow2_at_least(n)
     verts = np.zeros((n_pad, 3, 3), np.float32)
     verts[:n] = tris
-    uvs = jnp.zeros((n_pad, 3, 2), jnp.float32)
-    types = jnp.full((n_pad,), TRI_MATERIALLESS, jnp.int32)
-    rgb = jnp.ones((n_pad, 3), jnp.float32)
-    tex = jnp.full((n_pad,), -1, jnp.int32)
+    uvs = np.zeros((n_pad, 3, 2), np.float32)
+    types = np.full((n_pad,), TRI_MATERIALLESS, np.int32)
+    rgb = np.ones((n_pad, 3), np.float32)
+    tex = np.full((n_pad,), -1, np.int32)
     pixels_np, meta_np = TexturePool().device_arrays()
 
-    dv = jnp.asarray(verts)
-    dv.block_until_ready()
+    table = jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex))
+    table.block_until_ready()
 
     vmin = np.clip(np.floor(tris.min(axis=1)), 0, resolution).astype(np.int64)
     vmax = np.clip(np.floor(tris.max(axis=1)) + 1, 0, resolution).astype(np.int64)
@@ -73,11 +73,7 @@ def run_device_resident(n_target: int, resolution: int):
     def run():
         voxels = 0
         for xyz, argb in stream_slabs(
-            dv,
-            uvs,
-            types,
-            rgb,
-            tex,
+            table,
             jnp.asarray(pixels_np),
             jnp.asarray(meta_np),
             aabb_host=(vmin, vmax),

@@ -43,9 +43,9 @@ import numpy as np
 
 from .constants import BLEND_STRATEGY, MAX_STRATEGY, PAIR_TILE, TRI_MATERIALLESS
 from .geometry import compute_mesh_transform, mesh_bounds
-from .ops.clip import clip_triangles_to_voxels
-from .ops.clip_pallas import clip_triangles_to_voxels_pallas
-from .ops.color import TexturePool, sample_pair_colors
+from .ops.clip import clip_channels
+from .ops.clip_pallas import clip_pairs_pallas
+from .ops.color import TexturePool, sample_pair_colors_uv
 from .ops.combine import (
     INVALID_KEY,
     combine_pairs,
@@ -54,7 +54,7 @@ from .ops.combine import (
     merge_combined,
     pack_argb,
 )
-from .ops.expand_bucket import plan_slab
+from .ops.expand_bucket import plan_adaptive_slabs, plan_slab
 from .ops.subdivide import subdivide_soup
 
 #: Maximum pairs materialized per device pass (raw buffer ~20 B/pair).
@@ -196,11 +196,7 @@ def _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downsc
 
 @functools.partial(jax.jit, static_argnames=("budget", "tile", "use_pallas"))
 def _slab_pass_bucketed(
-    verts_t,
-    uvs,
-    types,
-    rgb,
-    tex,
+    tri_table,
     pixels,
     meta,
     idx,
@@ -220,10 +216,12 @@ def _slab_pass_bucketed(
 ):
     """One fused pass over bucketed pair tiles (see ops/expand_bucket.py).
 
-    Triangle AABBs are recomputed in-register from the gathered vertices
-    (cheaper than gathering precomputed AABB arrays), and the within-AABB rank
-    is decoded with shifts/masks plus two small-divisor divisions -- no
-    searchsorted on the hot path."""
+    All per-triangle data lives in ONE packed row table (tri_table (N, 24):
+    9 vertex coords, 6 UVs, type, rgb, texture id, padding) so each pair costs
+    a single contiguous row-gather -- TPU gathers are the dominant cost of the
+    tile loop, and scattered per-channel gathers are ~20x more gather ops.
+    AABBs are recomputed from the gathered rows, and the within-AABB rank is
+    decoded with shifts/masks -- no searchsorted on the hot path."""
     raw_key = jnp.full((budget,), INVALID_KEY, jnp.int32)
     raw_w = jnp.zeros((budget,), jnp.float32)
     raw_rgb = jnp.zeros((budget, 3), jnp.float32)
@@ -243,40 +241,63 @@ def _slab_pass_bucketed(
         t_slot = jnp.clip(ib + (lplus >> k), 0, n_idx - 1)
         tri = idx[t_slot]
         valid = tri >= 0
-        tri_c = jnp.clip(tri, 0, verts_t.shape[0] - 1)
+        tri_c = jnp.clip(tri, 0, tri_table.shape[0] - 1)
 
-        tv = verts_t[tri_c]
-        tuv = uvs[tri_c]
+        row = tri_table[tri_c]  # (T, 24): one contiguous gather per pair
+        rowT = row.T
+        tv9 = rowT[:9]  # (9, T)
+        tuv6 = rowT[9:15]  # (6, T)
+        r_type = rowT[15].astype(jnp.int32)
+        r_rgb = row[:, 16:19]
+        r_tex = rowT[19].astype(jnp.int32)
 
-        # in-register AABB, clamped to grid x/y and this slab's z range
-        vmin = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
-        vmax = jnp.floor(jnp.max(tv, axis=1)).astype(jnp.int32) + 1
-        lo = jnp.stack([jnp.int32(0), jnp.int32(0), z_lo])
-        hi = jnp.stack([stride, stride, z_hi])
-        tmin = jnp.clip(vmin, lo[None, :], hi[None, :])
-        tmax = jnp.clip(vmax, lo[None, :], hi[None, :])
-        s = jnp.maximum(tmax - tmin, 0)
-        sx = jnp.maximum(s[:, 0], 1)
-        sy = jnp.maximum(s[:, 1], 1)
-        vol = s[:, 0] * s[:, 1] * s[:, 2]
+        # elementwise AABB per axis, clamped to grid x/y and the slab's z
+        tmin_a, size_a = [], []
+        his = (stride, stride, z_hi)
+        los = (jnp.int32(0), jnp.int32(0), z_lo)
+        for a in range(3):
+            va = jnp.minimum(jnp.minimum(tv9[a], tv9[a + 3]), tv9[a + 6])
+            vb = jnp.maximum(jnp.maximum(tv9[a], tv9[a + 3]), tv9[a + 6])
+            t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), los[a], his[a])
+            t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, los[a], his[a])
+            tmin_a.append(t_lo)
+            size_a.append(jnp.maximum(t_hi - t_lo, 0))
+        sx = jnp.maximum(size_a[0], 1)
+        sy = jnp.maximum(size_a[1], 1)
+        vol = size_a[0] * size_a[1] * size_a[2]
 
         local = lplus & ((jnp.int32(1) << k) - 1)
         valid = valid & (local < vol)
 
-        x = local % sx
+        vx = tmin_a[0] + local % sx
         rest = local // sx
-        y = rest % sy
-        z = rest // sy
-        voxel = tmin + jnp.stack([x, y, z], axis=-1)
+        vy = tmin_a[1] + rest % sy
+        vz = tmin_a[2] + rest // sy
 
+        tri_data = jnp.concatenate(
+            [tv9, tuv6, jnp.zeros((1, tile), jnp.float32)], axis=0
+        )
+        vox_data = jnp.stack(
+            [
+                vx.astype(jnp.float32),
+                vy.astype(jnp.float32),
+                vz.astype(jnp.float32),
+                jnp.zeros(tile, jnp.float32),
+            ],
+            axis=0,
+        )
         if use_pallas:
-            w, uv = clip_triangles_to_voxels_pallas(tv, tuv, voxel)
+            out = clip_pairs_pallas(tri_data, vox_data)
+            w, uv_u, uv_v = out[0], out[1], out[2]
         else:
-            w, uv = clip_triangles_to_voxels(tv, tuv, voxel)
+            w1, u1, v1 = clip_channels(tri_data, vox_data)
+            w, uv_u, uv_v = w1[0], u1[0], v1[0]
         w = jnp.where(valid, w, 0.0)
-        colors = sample_pair_colors(uv, types[tri_c], rgb[tri_c], tex[tri_c], pixels, meta)
+        colors = sample_pair_colors_uv(
+            uv_u, uv_v, r_type, r_rgb, r_tex, pixels, meta
+        )
 
-        key = (voxel[:, 2] - z_lo) * (stride * stride) + voxel[:, 1] * stride + voxel[:, 0]
+        key = (vz - z_lo) * (stride * stride) + vy * stride + vx
         key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
         off = i * tile
         rk = jax.lax.dynamic_update_slice(rk, key, (off,))
@@ -311,6 +332,60 @@ def _merge_pass(keys, vals, z_lo, stride, is_blend, do_downscale, *, budget):
 
 
 # --- pipeline --------------------------------------------------------------
+
+
+def _host_merge(pass_outputs, stride, z_lo, is_blend, do_down):
+    """Numpy fallback merge for slabs whose combined pass outputs exceed the
+    device pass budget (reference semantics preserved: blend = premultiplied
+    sums; max = leftmost strict maximum)."""
+    keys = np.concatenate([np.asarray(k) for k, _, c in pass_outputs])
+    vals = np.concatenate([np.asarray(v) for _, v, c in pass_outputs])
+    live = keys != int(INVALID_KEY)
+    keys, vals = keys[live], vals[live]
+    if keys.size == 0:
+        return None
+
+    if do_down:
+        s2 = stride // 2
+        x = keys % stride
+        y = (keys // stride) % stride
+        zl = keys // (stride * stride)
+        keys = ((zl // 2) * (s2 * s2) + (y // 2) * s2 + (x // 2)).astype(np.int32)
+        out_stride, z_base = s2, z_lo // 2
+    else:
+        out_stride, z_base = stride, z_lo
+
+    if is_blend:
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        sv = vals[order]
+        heads = np.ones(sk.size, bool)
+        heads[1:] = sk[1:] != sk[:-1]
+        starts = np.nonzero(heads)[0]
+        out_keys = sk[starts]
+        summed = np.add.reduceat(sv, starts, axis=0)
+        w = summed[:, 0]
+        rgb = summed[:, 1:4] / np.where(w > 0, w, 1.0)[:, None]
+    else:
+        # leftmost strict maximum: sort by (key, -w, position)
+        pos = np.arange(keys.size)
+        order = np.lexsort((pos, -vals[:, 0], keys))
+        sk = keys[order]
+        sv = vals[order]
+        heads = np.ones(sk.size, bool)
+        heads[1:] = sk[1:] != sk[:-1]
+        out_keys = sk[heads]
+        picked = sv[heads]
+        w = picked[:, 0]
+        rgb = picked[:, 1:4] / np.where(w > 0, w, 1.0)[:, None]
+
+    x = out_keys % out_stride
+    y = (out_keys // out_stride) % out_stride
+    z = out_keys // (out_stride * out_stride) + z_base
+    xyz = np.stack([x, y, z], axis=-1).astype(np.int32)
+    q = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint32)
+    argb = np.uint32(0xFF000000) | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+    return xyz, argb
 
 
 def slab_plan(stride: int, z_extent: int | None = None):
@@ -457,11 +532,7 @@ def voxelize_grid(
         [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
     )
     yield from stream_slabs(
-        jnp.asarray(verts),
-        jnp.asarray(uvs),
-        jnp.asarray(types),
-        jnp.asarray(rgb),
-        jnp.asarray(tex),
+        jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex)),
         pixels,
         meta,
         aabb_host=(vmin_h, vmax_h),
@@ -474,12 +545,23 @@ def voxelize_grid(
     )
 
 
+def build_tri_table(verts, uvs, types, rgb, tex) -> np.ndarray:
+    """Pack per-triangle data into one (N, 24) float32 row table so the slab
+    kernel fetches everything for a pair with a single contiguous gather:
+    [0:9] vertex coords, [9:15] UVs, [15] type, [16:19] rgb, [19] texture id
+    (float-encoded; exact below 2^24), [20:24] padding."""
+    n = verts.shape[0]
+    table = np.zeros((n, 24), np.float32)
+    table[:, 0:9] = verts.reshape(n, 9)
+    table[:, 9:15] = uvs.reshape(n, 6)
+    table[:, 15] = types.astype(np.float32)
+    table[:, 16:19] = rgb
+    table[:, 19] = tex.astype(np.float32)
+    return table
+
+
 def stream_slabs(
-    verts_t,
-    uvs,
-    types,
-    rgb,
-    tex,
+    tri_table,
     pixels,
     meta,
     *,
@@ -491,10 +573,11 @@ def stream_slabs(
     pair_tile: int = PAIR_TILE,
     max_pass_budget: int = MAX_PASS_BUDGET,
 ):
-    """Device-resident slab streaming: all triangle arrays already on device
-    and in voxel space.  `aabb_host` is the host-side (vmin, vmax) int64 pair
-    of per-triangle voxel AABBs (vmax exclusive, x/y already grid-clamped),
-    used by the bucket planner."""
+    """Device-resident slab streaming: `tri_table` is the packed (N, 24)
+    per-triangle row table (see build_tri_table), already on device and in
+    voxel space.  `aabb_host` is the host-side (vmin, vmax) int64 pair of
+    per-triangle voxel AABBs (vmax exclusive, x/y already grid-clamped), used
+    by the bucket planner."""
     import time as _time
 
     timing = _os.environ.get("O2V_TIMING") == "1"
@@ -502,7 +585,13 @@ def stream_slabs(
     vmin_h, vmax_h = aabb_host
     tile = min(pair_tile, max_pass_budget)
 
-    for z_lo, z_hi in slab_plan(sample_res, z_extent):
+    # adaptive slab heights: target a handful of device passes per slab
+    # (device-side merges are cheap; fewer slabs amortize fixed costs better)
+    slabs = plan_adaptive_slabs(
+        vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_pass_budget
+    )
+
+    for z_lo, z_hi in slabs:
         _t0 = _time.perf_counter()
         plan = plan_slab(vmin_h, vmax_h, z_lo, z_hi, tile)
         if plan is None:
@@ -565,11 +654,7 @@ def stream_slabs(
                 return jnp.asarray(out)
 
             handle = _slab_pass_bucketed(
-                verts_t,
-                uvs,
-                types,
-                rgb,
-                tex,
+                tri_table,
                 pixels,
                 meta,
                 idx,
@@ -600,11 +685,20 @@ def stream_slabs(
 
         if multi and pass_outputs:
             total_rows = sum(k.shape[0] for k, _, _ in pass_outputs)
+            if total_rows > MAX_PASS_BUDGET:
+                # device programs above the pass budget cannot compile in this
+                # environment; merge the (already compacted) outputs on host
+                out = _host_merge(
+                    pass_outputs, sample_res, z_lo, is_blend, do_down
+                )
+                if out is not None:
+                    yield out
+                continue
             # coarse merge-size ladder bounds compile variants
             m_pad = next(
-                (b for b in (1 << 12, 1 << 16, 1 << 20, 1 << 22, 1 << 24, 1 << 26)
+                (b for b in (1 << 12, 1 << 16, 1 << 20, 1 << 21)
                  if b >= total_rows),
-                _pow2_at_least(total_rows),
+                MAX_PASS_BUDGET,
             )
             pad = m_pad - total_rows
             ks = [k for k, _, _ in pass_outputs]

@@ -173,6 +173,28 @@ def _area_uv(slots, count):
     return weight, uv_num_u / safe_w, uv_num_v / safe_w
 
 
+def clip_channels(tri_data, vox_data):
+    """Channel-major clip: tri_data (16, P) f32 (rows 0..8 vertex coords
+    x0 y0 z0 x1 y1 z1 x2 y2 z2, rows 9..14 UVs, row 15 pad), vox_data (>=3, P)
+    f32 voxel min corner.  Returns (weight (1, P), uv_u (1, P), uv_v (1, P)).
+
+    This is the same computation the Pallas kernel runs per block; on CPU it
+    serves as the oracle/fallback with identical layout."""
+    t = tri_data
+
+    def slot(i):
+        return jnp.concatenate(
+            [t[3 * i : 3 * i + 3, :], t[9 + 2 * i : 9 + 2 * i + 2, :]], axis=0
+        )
+
+    s0 = slot(0)
+    slots = [s0, slot(1), slot(2), s0]
+    count = jnp.full((1, t.shape[1]), 3, jnp.int32)
+    voxel_f = [vox_data[0:1, :], vox_data[1:2, :], vox_data[2:3, :]]
+    slots, count = _clip_polygons(slots, count, voxel_f)
+    return _area_uv(slots, count)
+
+
 def clip_triangles_to_voxels(verts, uvs, voxel_pos):
     """Clip each triangle against its voxel's cube; return (weight, uv).
 

@@ -53,12 +53,19 @@ class TexturePool:
 
 
 def sample_pair_colors(uv, tri_type, tri_rgb, tri_tex, pool_pixels, pool_meta):
+    """Resolve colors for a tile of pairs ((P, 2) UV convenience wrapper)."""
+    return sample_pair_colors_uv(
+        uv[:, 0], uv[:, 1], tri_type, tri_rgb, tri_tex, pool_pixels, pool_meta
+    )
+
+
+def sample_pair_colors_uv(uv_u, uv_v, tri_type, tri_rgb, tri_tex, pool_pixels, pool_meta):
     """Resolve colors for a tile of pairs.
 
-    uv:       (P, 2) float32 accumulated UV per pair
-    tri_type: (P,)  int32 triangle material type (TRI_*)
-    tri_rgb:  (P, 3) float32 flat color (white for materialless)
-    tri_tex:  (P,)  int32 texture id (< 0 when none)
+    uv_u/uv_v: (P,) float32 accumulated UV per pair
+    tri_type:  (P,)  int32 triangle material type (TRI_*)
+    tri_rgb:   (P, 3) float32 flat color (white for materialless)
+    tri_tex:   (P,)  int32 texture id (< 0 when none)
     pool_pixels: (B,) uint32, pool_meta: (T, 4) int32 (offset, w, h, wrap)
 
     Returns (P, 3) float32 rgb in [0, 1].
@@ -67,8 +74,8 @@ def sample_pair_colors(uv, tri_type, tri_rgb, tri_tex, pool_pixels, pool_meta):
     meta = pool_meta[tex]
     off, w, h, wrap = meta[:, 0], meta[:, 1], meta[:, 2], meta[:, 3]
 
-    u = uv[:, 0]
-    v = 1.0 - uv[:, 1]  # v-flip at sample time (reference triangle.hpp:190)
+    u = uv_u
+    v = 1.0 - uv_v  # v-flip at sample time (reference triangle.hpp:190)
     fx = u * w.astype(jnp.float32)
     fy = v * h.astype(jnp.float32)
     ix = jnp.floor(fx).astype(jnp.int32)

@@ -91,3 +91,43 @@ def plan_slab(vmin, vmax, z_lo, z_hi, tile):
     idx_base = np.concatenate(idx_base)
     local_base = np.concatenate(local_base)
     return idx, shifts, idx_base, local_base, shifts.size
+
+
+def plan_adaptive_slabs(vmin, vmax, stride, z_extent, slot_budget, align=2):
+    """Choose z-slab boundaries so each slab's estimated pair-slot count fits
+    `slot_budget` (single device pass per slab) while keys stay below int31.
+
+    Estimates per-z-row slot counts with a difference-array histogram of
+    sx*sy contributions (pow2 bucket rounding adds up to 2x, so callers
+    should pass a budget with margin).  Boundaries are aligned to `align`
+    (2 keeps supersampled downscale slab-local).
+    """
+    max_h_keys = max(align, (2**31 - 2) // (stride * stride))
+
+    sx = np.maximum(vmax[:, 0] - vmin[:, 0], 0)
+    sy = np.maximum(vmax[:, 1] - vmin[:, 1], 0)
+    area = (sx * sy).astype(np.int64)
+    z0 = np.clip(vmin[:, 2], 0, z_extent)
+    z1 = np.clip(vmax[:, 2], 0, z_extent)
+    diff = np.zeros(z_extent + 1, np.int64)
+    np.add.at(diff, z0, area)
+    np.add.at(diff, z1, -area)
+    per_row = np.cumsum(diff[:-1])
+
+    slabs = []
+    z = 0
+    while z < z_extent:
+        acc = 0
+        zh = z
+        while zh < z_extent and zh - z < max_h_keys:
+            nxt = acc + int(per_row[zh])
+            if zh > z and nxt > slot_budget:
+                break
+            acc = nxt
+            zh += 1
+        # align the boundary (never below z + align unless at the end)
+        if zh < z_extent:
+            zh = max(z + align, zh - (zh - z) % align)
+        slabs.append((z, min(zh, z_extent)))
+        z = slabs[-1][1]
+    return slabs

@@ -109,6 +109,23 @@ def test_permutation_swap(pair_tile):
     assert base == {(x, z, y) for (x, y, z) in swapped}
 
 
+def test_multipass_host_merge(cube_tris):
+    # force the host-merge fallback: many tiny passes per slab
+    r = 32
+    soup = TriangleSoup.from_vertices(cube_tris)
+    total = 0
+    seen = set()
+    for xyz, argb in voxelize_soup(
+        soup, resolution=r, pair_tile=1 << 12, max_pass_budget=1 << 12
+    ):
+        for row in xyz:
+            key = tuple(row)
+            assert key not in seen
+            seen.add(key)
+        total += xyz.shape[0]
+    assert total == expected_unit_cube_voxels(r)
+
+
 def test_empty_mesh():
     soup = TriangleSoup.empty()
     assert list(voxelize_soup(soup, resolution=8)) == []
