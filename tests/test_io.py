@@ -179,3 +179,41 @@ def test_obj_loader_negative_indices(tmp_path):
     soup, _ = load_obj(str(path))
     assert len(soup) == 1
     assert np.allclose(soup.verts[0], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+
+
+def test_obj_with_texture_end_to_end(tmp_path):
+    # full path: OBJ + MTL + PNG texture -> textured voxels
+    from PIL import Image
+    import numpy as _np
+
+    img = _np.zeros((2, 2, 4), _np.uint8)
+    img[:, :, 3] = 255
+    img[0, :, 0] = 255  # top row red (v near 1 -> image row 0 after v-flip)
+    img[1, :, 1] = 255  # bottom row green
+    Image.fromarray(img, "RGBA").save(tmp_path / "tex.png")
+
+    (tmp_path / "m.mtl").write_text("newmtl mat\nKd 1 1 1\nmap_Kd tex.png\n")
+    (tmp_path / "plane.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0.5\nv 1 0 0.5\nv 1 1 0.5\nv 0 1 0.5\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl mat\n"
+        "f 1/1 2/2 3/3 4/4\n"
+    )
+    soup, pool = load_obj(str(tmp_path / "plane.obj"))
+    assert len(soup) == 2
+    from obj2voxel_tpu.constants import TRI_TEXTURED
+
+    assert all(t == TRI_TEXTURED for t in soup.types)
+    assert len(pool) == 1
+
+    from obj2voxel_tpu.engine import voxelize_soup
+
+    bounds = (np.zeros(3, np.float32), np.ones(3, np.float32))
+    colors = set()
+    for xyz, argb in voxelize_soup(
+        soup, pool, resolution=8, bounds=bounds, pair_tile=1 << 12
+    ):
+        colors.update(int(c) for c in argb)
+    assert 0xFFFF0000 in colors  # red half sampled
+    assert 0xFF00FF00 in colors  # green half sampled
