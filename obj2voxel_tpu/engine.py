@@ -293,9 +293,14 @@ def _slab_pass_bucketed(
             w1, u1, v1 = clip_channels(tri_data, vox_data)
             w, uv_u, uv_v = w1[0], u1[0], v1[0]
         w = jnp.where(valid, w, 0.0)
-        colors = sample_pair_colors_uv(
-            uv_u, uv_v, r_type, r_rgb, r_tex, pixels, meta
-        )
+        if pixels.shape[0] > 1:  # static: texture pool non-empty
+            colors = sample_pair_colors_uv(
+                uv_u, uv_v, r_type, r_rgb, r_tex, pixels, meta
+            )
+        else:
+            # texture-free mesh: colorAt is the flat color (white for
+            # materialless) -- skips 5 gathers per pair
+            colors = r_rgb
 
         key = (vz - z_lo) * (stride * stride) + vy * stride + vx
         key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
