@@ -33,10 +33,10 @@ ANTI_BLEED = 0.5
 #: (reference CHUNK_SIZE, constants.hpp:10).
 CHUNK_SIZE = 64
 
-#: Pair slots per tile inside a fused slab pass.  Smaller tiles waste fewer
-#: slots on per-bucket padding (each bucket pads its slot domain to whole
-#: tiles) at the cost of more loop iterations.
-PAIR_TILE = 1 << 18
+#: Cap on pair slots per fused device pass (the effective pass budget is
+#: min(PAIR_TILE, engine.MAX_PASS_BUDGET)).  Tests pass a small value to keep
+#: XLA CPU compiles fast; production uses the full budget.
+PAIR_TILE = 1 << 21
 
 #: Triangle counts are padded up to multiples of this to bound jit recompiles.
 TRIANGLE_PAD = 1 << 12

@@ -54,24 +54,36 @@ from .ops.combine import (
     merge_combined,
     pack_argb,
 )
-from .ops.expand_bucket import plan_adaptive_slabs, plan_slab
+from .ops.plan import plan_mesh
 from .ops.subdivide import subdivide_soup
 
 #: Maximum pairs materialized per device pass (raw buffer ~20 B/pair).
-#: Capped at 2^21: the environment's TPU compile helper is OOM-killed on
-#: larger fused programs; bigger workloads run as multiple merged passes.
-MAX_PASS_BUDGET = 1 << 21
+#: Default 2^21; override with O2V_MAX_PASS_BUDGET (the round-1 cap came from
+#: the environment's compile helper OOMing on the old giant fused graphs --
+#: the round-2 pass program is far smaller, so larger budgets are probed).
+MAX_PASS_BUDGET = int(_os.environ.get("O2V_MAX_PASS_BUDGET", 1 << 21))
 
 #: Allowed pass-buffer sizes.  Each distinct size costs one (cached) XLA
-#: compile of the fused slab kernel, so the ladder is deliberately coarse.
-BUDGET_LADDER = (1 << 18, 1 << 21)
+#: compile per expansion factor, so the ladder is deliberately coarse; the
+#: scheduler covers each segment greedily with full rungs so tail waste is
+#: bounded by the smallest rung.
+BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 23)
 
 
-def _ladder_budget(n: int, pair_tile: int, max_budget: int) -> int:
-    for b in BUDGET_LADDER:
-        if b >= n and b >= pair_tile and b <= max_budget:
+def _chunk_budget(remaining_slots: int, expand: int, max_budget: int) -> int:
+    """Pick the pass budget for the next chunk of a segment: the largest
+    ladder rung that is fully used (<= remaining), else the smallest rung
+    covering the tail.  Rungs below `expand` cannot host even one row."""
+    usable = [b for b in BUDGET_LADDER if expand <= b <= max_budget]
+    if not usable:
+        return max_budget
+    for b in reversed(usable):
+        if remaining_slots >= b:
             return b
-    return min(max_budget, BUDGET_LADDER[-1])
+    for b in usable:
+        if b >= remaining_slots:
+            return b
+    return usable[-1]
 
 
 @dataclasses.dataclass
@@ -171,14 +183,18 @@ def _transform_verts(verts, matrix, translation):
     return (out + translation).astype(jnp.float32)
 
 
-def _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale):
+def _combine_epilogue(
+    raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale, use_kernel=False
+):
     """Shared tail of a pass: sort+combine, optional downscale, finalize."""
-    keys, vals, count = combine_pairs(raw_key, raw_w, raw_rgb, is_blend)
+    keys, vals, count = combine_pairs(
+        raw_key, raw_w, raw_rgb, is_blend, use_kernel=use_kernel
+    )
 
     def down(args):
         k, v, _ = args
         dk = downscale_keys(k, stride)
-        return merge_combined(dk, v, is_blend)
+        return merge_combined(dk, v, is_blend, use_kernel=use_kernel)
 
     keys, vals, count = jax.lax.cond(
         do_downscale, down, lambda a: a, (keys, vals, count)
@@ -194,137 +210,124 @@ def _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downsc
     return keys, vals, xyz, argb, count
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "tile", "use_pallas"))
-def _slab_pass_bucketed(
-    tri_table,
+@functools.partial(jax.jit, static_argnames=("expand", "budget", "use_pallas"))
+def _bucket_pass(
+    tableT,
     pixels,
     meta,
-    idx,
-    shifts,
-    idx_base,
+    r0,
+    n_rows,
     local_base,
-    n_tiles,
     z_lo,
     z_hi,
     stride,
     is_blend,
     do_downscale,
     *,
+    expand,
     budget,
-    tile,
     use_pallas,
 ):
-    """One fused pass over bucketed pair tiles (see ops/expand_bucket.py).
+    """One fused pass over a contiguous run of same-bucket triangle rows.
 
-    All per-triangle data lives in ONE packed row table (tri_table (N, 24):
-    9 vertex coords, 6 UVs, type, rgb, texture id, padding) so each pair costs
-    a single contiguous row-gather -- TPU gathers are the dominant cost of the
-    tile loop, and scattered per-channel gathers are ~20x more gather ops.
-    AABBs are recomputed from the gathered rows, and the within-AABB rank is
-    decoded with shifts/masks -- no searchsorted on the hot path."""
-    raw_key = jnp.full((budget,), INVALID_KEY, jnp.int32)
-    raw_w = jnp.zeros((budget,), jnp.float32)
-    raw_rgb = jnp.zeros((budget, 3), jnp.float32)
+    tableT is the (24, M) channel-major triangle table already gathered into
+    global (slab, bucket) order (ops/plan.py).  Rows [r0, r0 + budget/expand)
+    each own `expand` = 2^k pair slots; `expand` is STATIC, so turning rows
+    into pairs is a plain broadcast+reshape (pure data movement) and the
+    within-AABB rank is `iota & (expand - 1)`.  This replaces the round-1
+    per-pair row gather, which ran at ~2 GB/s and dominated every pass
+    (probes/probe_r2.out: 133 ms per 2^21 gathered rows vs 2.3 ms of clip).
 
-    n_idx = idx.shape[0]
-    n_meta = shifts.shape[0]
+    For buckets larger than the budget (huge axis-aligned triangles skipped by
+    the subdivision regularizer), expand == budget, one row per pass, and
+    `local_base` walks the slot domain across passes.
 
-    def body(i, carry):
-        rk, rw, rc = carry
-        im = jnp.minimum(i, n_meta - 1)
-        k = shifts[im]
-        ib = idx_base[im]
-        lb = local_base[im]
+    Rows at positions >= n_rows (the dynamic-slice overread into neighboring
+    segments) are neutralized by forcing their volume to zero.
+    """
+    R = budget // expand
+    rowsT = jax.lax.dynamic_slice(tableT, (0, r0), (24, R))
 
-        j = jnp.arange(tile, dtype=jnp.int32)
-        lplus = lb + j
-        t_slot = jnp.clip(ib + (lplus >> k), 0, n_idx - 1)
-        tri = idx[t_slot]
-        valid = tri >= 0
-        tri_c = jnp.clip(tri, 0, tri_table.shape[0] - 1)
+    # per-row voxel AABB, clamped to the grid in x/y and to the slab in z;
+    # identical float ops to the host planner so counts match exactly
+    tmin_a, size_a = [], []
+    his = (stride, stride, z_hi)
+    los = (jnp.int32(0), jnp.int32(0), z_lo)
+    for a in range(3):
+        va = jnp.minimum(jnp.minimum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
+        vb = jnp.maximum(jnp.maximum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
+        t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), los[a], his[a])
+        t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, los[a], his[a])
+        tmin_a.append(t_lo)
+        size_a.append(jnp.maximum(t_hi - t_lo, 0))
+    sx = jnp.maximum(size_a[0], 1)
+    sy = jnp.maximum(size_a[1], 1)
+    vol = size_a[0] * size_a[1] * size_a[2]
+    row_live = jnp.arange(R, dtype=jnp.int32) < n_rows
+    vol = jnp.where(row_live, vol, 0)
 
-        row = tri_table[tri_c]  # (T, 24): one contiguous gather per pair
-        rowT = row.T
-        tv9 = rowT[:9]  # (9, T)
-        tuv6 = rowT[9:15]  # (6, T)
-        r_type = rowT[15].astype(jnp.int32)
-        r_rgb = row[:, 16:19]
-        r_tex = rowT[19].astype(jnp.int32)
+    def expand_rows(x):
+        """(C, R) -> (C, budget): each row repeated `expand` times."""
+        c = x.shape[0]
+        return jnp.broadcast_to(x[:, :, None], (c, R, expand)).reshape(c, budget)
 
-        # elementwise AABB per axis, clamped to grid x/y and the slab's z
-        tmin_a, size_a = [], []
-        his = (stride, stride, z_hi)
-        los = (jnp.int32(0), jnp.int32(0), z_lo)
-        for a in range(3):
-            va = jnp.minimum(jnp.minimum(tv9[a], tv9[a + 3]), tv9[a + 6])
-            vb = jnp.maximum(jnp.maximum(tv9[a], tv9[a + 3]), tv9[a + 6])
-            t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), los[a], his[a])
-            t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, los[a], his[a])
-            tmin_a.append(t_lo)
-            size_a.append(jnp.maximum(t_hi - t_lo, 0))
-        sx = jnp.maximum(size_a[0], 1)
-        sy = jnp.maximum(size_a[1], 1)
-        vol = size_a[0] * size_a[1] * size_a[2]
-
-        local = lplus & ((jnp.int32(1) << k) - 1)
-        valid = valid & (local < vol)
-
-        vx = tmin_a[0] + local % sx
-        rest = local // sx
-        vy = tmin_a[1] + rest % sy
-        vz = tmin_a[2] + rest // sy
-
-        tri_data = jnp.concatenate(
-            [tv9, tuv6, jnp.zeros((1, tile), jnp.float32)], axis=0
-        )
-        vox_data = jnp.stack(
-            [
-                vx.astype(jnp.float32),
-                vy.astype(jnp.float32),
-                vz.astype(jnp.float32),
-                jnp.zeros(tile, jnp.float32),
-            ],
-            axis=0,
-        )
-        if use_pallas:
-            out = clip_pairs_pallas(tri_data, vox_data)
-            w, uv_u, uv_v = out[0], out[1], out[2]
-        else:
-            w1, u1, v1 = clip_channels(tri_data, vox_data)
-            w, uv_u, uv_v = w1[0], u1[0], v1[0]
-        w = jnp.where(valid, w, 0.0)
-        if pixels.shape[0] > 1:  # static: texture pool non-empty
-            colors = sample_pair_colors_uv(
-                uv_u, uv_v, r_type, r_rgb, r_tex, pixels, meta
-            )
-        else:
-            # texture-free mesh: colorAt is the flat color (white for
-            # materialless) -- skips 5 gathers per pair
-            colors = r_rgb
-
-        key = (vz - z_lo) * (stride * stride) + vy * stride + vx
-        key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
-        off = i * tile
-        rk = jax.lax.dynamic_update_slice(rk, key, (off,))
-        rw = jax.lax.dynamic_update_slice(rw, w.astype(jnp.float32), (off,))
-        rc = jax.lax.dynamic_update_slice(rc, colors.astype(jnp.float32), (off, 0))
-        return rk, rw, rc
-
-    raw_key, raw_w, raw_rgb = jax.lax.fori_loop(
-        0, jnp.minimum(n_tiles, budget // tile), body, (raw_key, raw_w, raw_rgb)
+    tri_data = expand_rows(rowsT[0:16])  # 9 verts + 6 UVs + pad
+    aug = expand_rows(
+        jnp.stack([tmin_a[0], tmin_a[1], tmin_a[2], sx, sy, vol], axis=0)
     )
-    return _combine_epilogue(raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale)
+
+    iota = jnp.arange(budget, dtype=jnp.int32)
+    local = local_base + (iota & jnp.int32(expand - 1))
+    valid = local < aug[5]
+    vx = aug[0] + local % aug[3]
+    rest = local // aug[3]
+    vy = aug[1] + rest % aug[4]
+    vz = aug[2] + rest // aug[4]
+
+    vox_data = jnp.stack(
+        [
+            vx.astype(jnp.float32),
+            vy.astype(jnp.float32),
+            vz.astype(jnp.float32),
+            jnp.zeros((budget,), jnp.float32),
+        ],
+        axis=0,
+    )
+    if use_pallas:
+        out = clip_pairs_pallas(tri_data, vox_data)
+        w, uv_u, uv_v = out[0], out[1], out[2]
+    else:
+        w1, u1, v1 = clip_channels(tri_data, vox_data)
+        w, uv_u, uv_v = w1[0], u1[0], v1[0]
+    w = jnp.where(valid, w, 0.0)
+
+    if pixels.shape[0] > 1:  # static: texture pool non-empty
+        r_type = expand_rows(rowsT[16:17])[0].astype(jnp.int32)
+        r_tex = expand_rows(rowsT[20:21])[0].astype(jnp.int32)
+        r_rgb = expand_rows(rowsT[17:20]).T
+        colors = sample_pair_colors_uv(uv_u, uv_v, r_type, r_rgb, r_tex, pixels, meta)
+    else:
+        # texture-free mesh: colorAt is the flat color (white for
+        # materialless) -- skips 5 gathers per pair
+        colors = expand_rows(rowsT[17:20]).T
+
+    key = (vz - z_lo) * (stride * stride) + vy * stride + vx
+    key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
+    return _combine_epilogue(
+        key, w, colors, stride, z_lo, is_blend, do_downscale, use_kernel=use_pallas
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("budget",))
-def _merge_pass(keys, vals, z_lo, stride, is_blend, do_downscale, *, budget):
+@functools.partial(jax.jit, static_argnames=("budget", "use_kernel"))
+def _merge_pass(keys, vals, z_lo, stride, is_blend, do_downscale, *, budget,
+                use_kernel=False):
     """Merge concatenated per-pass compacted outputs and finalize."""
     def down(args):
         k, v = args
         return downscale_keys(k, stride), v
 
     keys, vals = jax.lax.cond(do_downscale, down, lambda a: a, (keys, vals))
-    keys, vals, count = merge_combined(keys, vals, is_blend)
+    keys, vals, count = merge_combined(keys, vals, is_blend, use_kernel=use_kernel)
 
     out_stride = jnp.where(do_downscale, stride // 2, stride)
     z_base = jnp.where(do_downscale, z_lo // 2, z_lo)
@@ -551,18 +554,53 @@ def voxelize_grid(
 
 
 def build_tri_table(verts, uvs, types, rgb, tex) -> np.ndarray:
-    """Pack per-triangle data into one (N, 24) float32 row table so the slab
-    kernel fetches everything for a pair with a single contiguous gather:
-    [0:9] vertex coords, [9:15] UVs, [15] type, [16:19] rgb, [19] texture id
-    (float-encoded; exact below 2^24), [20:24] padding."""
+    """Pack per-triangle data into one (N, 24) float32 row table; the first 16
+    channels are exactly the clip kernel's tri_data layout so a pass slices
+    them without shuffling: [0:9] vertex coords, [9:15] UVs, [15] padding,
+    [16] type, [17:20] rgb, [20] texture id (float-encoded; exact below 2^24),
+    [21:24] padding."""
     n = verts.shape[0]
     table = np.zeros((n, 24), np.float32)
     table[:, 0:9] = verts.reshape(n, 9)
     table[:, 9:15] = uvs.reshape(n, 6)
-    table[:, 15] = types.astype(np.float32)
-    table[:, 16:19] = rgb
-    table[:, 19] = tex.astype(np.float32)
+    table[:, 16] = types.astype(np.float32)
+    table[:, 17:20] = rgb
+    table[:, 20] = tex.astype(np.float32)
     return table
+
+
+def _schedule_passes(segments, max_budget):
+    """Turn one slab's (bucket) segments into pass descriptors.
+
+    Yields (expand, budget, r0, n_rows, local_base) tuples; expand and budget
+    are static (jit keys, bounded by the BUDGET_LADDER x log2(budget) grid),
+    the rest are traced scalars.
+    """
+    passes = []
+    for seg in segments:
+        if (1 << seg.k) <= max_budget:
+            r = seg.r0
+            while r < seg.r1:
+                remaining = seg.r1 - r
+                budget = _chunk_budget(remaining << seg.k, 1 << seg.k, max_budget)
+                rows = min(max(1, budget >> seg.k), remaining)
+                passes.append((1 << seg.k, budget, r, rows, 0))
+                r += rows
+        else:
+            # one huge (axis-aligned, unsubdivided) triangle per pass; walk
+            # its 2^k slot domain budget slots at a time
+            budget = max_budget
+            n_sub = -(-(1 << seg.k) // budget)
+            for row in range(seg.r0, seg.r1):
+                for j in range(n_sub):
+                    passes.append((budget, budget, row, 1, j * budget))
+    return passes
+
+
+@jax.jit
+def _gather_sorted(table, order):
+    """Gather triangle rows into plan order, channel-major (24, M)."""
+    return table[order].T
 
 
 def stream_slabs(
@@ -582,43 +620,48 @@ def stream_slabs(
     per-triangle row table (see build_tri_table), already on device and in
     voxel space.  `aabb_host` is the host-side (vmin, vmax) int64 pair of
     per-triangle voxel AABBs (vmax exclusive, x/y already grid-clamped), used
-    by the bucket planner."""
+    by the global planner."""
     import time as _time
 
     timing = _os.environ.get("O2V_TIMING") == "1"
     sample_res = stride
     vmin_h, vmax_h = aabb_host
-    tile = min(pair_tile, max_pass_budget)
+    max_budget = min(pair_tile, max_pass_budget)
 
-    # adaptive slab heights: target a handful of device passes per slab
-    # (device-side merges are cheap; fewer slabs amortize fixed costs better)
-    slabs = plan_adaptive_slabs(
-        vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_pass_budget
+    _t0 = _time.perf_counter()
+    order, segments = plan_mesh(
+        vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_budget
     )
+    if order is None:
+        return
 
-    for z_lo, z_hi in slabs:
-        _t0 = _time.perf_counter()
-        plan = plan_slab(vmin_h, vmax_h, z_lo, z_hi, tile)
-        if plan is None:
-            continue
-        idx_np, shifts_np, idx_base_np, local_base_np, n_tiles = plan
+    # one per-TRIANGLE gather for the whole mesh; padded so no pass's
+    # dynamic_slice can clamp (clamping would alias real rows)
+    m = order.size
+    m_pad = _pow2_at_least(m + max_budget, 1 << 10)
+    order_pad = np.zeros(m_pad, np.int32)
+    order_pad[:m] = order
+    tableT = _gather_sorted(tri_table, jnp.asarray(order_pad))
 
-        tiles_per_pass = max(1, max_pass_budget // tile)
-        n_passes = -(-n_tiles // tiles_per_pass)
+    use_pallas = jax.default_backend() != "cpu"
+
+    if timing:
+        print(
+            f"[o2v-timing] plan+gather {( _time.perf_counter() - _t0) * 1000:.0f}ms "
+            f"rows={m} segments={len(segments)}",
+            flush=True,
+        )
+
+    by_slab: dict[tuple[int, int], list] = {}
+    for seg in segments:
+        by_slab.setdefault((seg.z_lo, seg.z_hi), []).append(seg)
+
+    for (z_lo, z_hi), slab_segs in by_slab.items():
+        _t1 = _time.perf_counter()
+        passes = _schedule_passes(slab_segs, max_budget)
+        n_passes = len(passes)
         multi = n_passes > 1
         pass_outputs = []
-
-        idx = jnp.asarray(
-            np.pad(idx_np, (0, _pow2_at_least(idx_np.size, 1024) - idx_np.size),
-                   constant_values=-1)
-        )
-        if timing:
-            _t1 = _time.perf_counter()
-            print(
-                f"[o2v-timing] slab z[{z_lo},{z_hi}) plan+upload "
-                f"{(_t1 - _t0) * 1000:.0f}ms tiles={n_tiles}",
-                flush=True,
-            )
 
         # issue passes without per-pass host syncs: collect device handles in
         # a sliding window so the device pipelines back-to-back passes
@@ -647,35 +690,23 @@ def stream_slabs(
             pass_outputs.append((keys[:p2], vals[:p2], c))
             return None
 
-        for p in range(n_passes):
-            t0 = p * tiles_per_pass
-            t1 = min(t0 + tiles_per_pass, n_tiles)
-            n_pass_tiles = t1 - t0
-            budget = _ladder_budget(n_pass_tiles * tile, tile, max_pass_budget)
-            meta_pad = budget // tile
-            def pad_meta(a):
-                out = np.zeros(_pow2_at_least(meta_pad, 64), np.int32)
-                out[: n_pass_tiles] = a[t0:t1]
-                return jnp.asarray(out)
-
-            handle = _slab_pass_bucketed(
-                tri_table,
+        for expand, budget, r0, n_rows, local_base in passes:
+            handle = _bucket_pass(
+                tableT,
                 pixels,
                 meta,
-                idx,
-                pad_meta(shifts_np),
-                pad_meta(idx_base_np),
-                pad_meta(local_base_np),
-                jnp.int32(n_pass_tiles),
+                jnp.int32(r0),
+                jnp.int32(n_rows),
+                jnp.int32(local_base),
                 jnp.int32(z_lo),
                 jnp.int32(z_hi),
                 jnp.int32(sample_res),
                 jnp.bool_(is_blend),
                 # with several passes downscaling must wait for the merge
                 jnp.bool_(do_down and not multi),
+                expand=expand,
                 budget=budget,
-                tile=tile,
-                use_pallas=jax.default_backend() != "cpu",
+                use_pallas=use_pallas,
             )
             in_flight.append(handle)
             if len(in_flight) >= WINDOW:
@@ -700,12 +731,12 @@ def stream_slabs(
                     yield out
                 continue
             # coarse merge-size ladder bounds compile variants
-            m_pad = next(
+            merge_pad = next(
                 (b for b in (1 << 12, 1 << 16, 1 << 20, 1 << 21)
                  if b >= total_rows),
                 MAX_PASS_BUDGET,
             )
-            pad = m_pad - total_rows
+            pad = merge_pad - total_rows
             ks = [k for k, _, _ in pass_outputs]
             vs = [v for _, v, _ in pass_outputs]
             if pad:
@@ -718,7 +749,8 @@ def stream_slabs(
                 jnp.int32(sample_res),
                 jnp.bool_(is_blend),
                 jnp.bool_(do_down),
-                budget=m_pad,
+                budget=merge_pad,
+                use_kernel=use_pallas,
             )
             count = int(count)
             if timing:

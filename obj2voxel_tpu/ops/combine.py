@@ -37,6 +37,21 @@ def sort_pairs(keys, values):
     return sorted_keys, tuple(v[perm] for v in values)
 
 
+def sort_vals4(keys, vals, is_stable=True):
+    """Sort a (P, 4) value block by int32 keys with a multi-operand sort.
+
+    Measured on the TPU (probes/probe_r2.out): the 5-operand `lax.sort` runs
+    3.6x faster than sort-(key, iota)-then-gather at 2^21 pairs (3.1 ms vs
+    11.3 ms) -- gathers, even permutation gathers, are the slow primitive.
+    """
+    sk, v0, v1, v2, v3 = jax.lax.sort(
+        (keys, vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]),
+        num_keys=1,
+        is_stable=is_stable,
+    )
+    return sk, jnp.stack([v0, v1, v2, v3], axis=-1)
+
+
 def _segment_combine(head, vals, is_blend):
     """Segmented left-to-right scan over sorted runs.
 
@@ -66,8 +81,12 @@ def combine_sorted(sorted_keys, vals, is_blend):
 
     Returns (keys (P,), vals (P,4), count): the first `count` rows are the
     unique combined voxels (key-sorted); the rest is INVALID_KEY padding.
+
+    Compaction runs as one more (non-stable) sort: non-tail rows get their key
+    set to INVALID_KEY and sorting bubbles the unique combined rows to the
+    front in key order.  Measured 3.1 ms at 2^21 vs 34 ms for the previous
+    `jnp.nonzero` + gather compaction (probes/probe_r2.out).
     """
-    P = sorted_keys.shape[0]
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     head = sorted_keys != prev
     combined = _segment_combine(head, vals, is_blend)
@@ -76,10 +95,10 @@ def combine_sorted(sorted_keys, vals, is_blend):
     tail = (sorted_keys != nxt) & (sorted_keys != INVALID_KEY)
 
     count = jnp.sum(tail.astype(jnp.int32))
-    idx = jnp.nonzero(tail, size=P, fill_value=P - 1)[0]
-    live = jnp.arange(P) < count
-    out_keys = jnp.where(live, sorted_keys[idx], INVALID_KEY)
-    out_vals = jnp.where(live[:, None], combined[idx], 0.0)
+    tail_keys = jnp.where(tail, sorted_keys, INVALID_KEY)
+    # keys are unique among the live rows, so stability is irrelevant
+    out_keys, out_vals = sort_vals4(tail_keys, combined, is_stable=False)
+    out_vals = jnp.where((out_keys != INVALID_KEY)[:, None], out_vals, 0.0)
     return out_keys, out_vals, count
 
 
@@ -88,7 +107,21 @@ def premultiply(weight, rgb):
     return jnp.concatenate([weight[:, None], weight[:, None] * rgb], axis=-1)
 
 
-def combine_pairs(keys, weight, rgb, is_blend):
+def _combine_sorted_kernel(sorted_keys, svals, is_blend):
+    """Run-tail combine via the streaming Pallas kernel + compaction sort."""
+    from .combine_pallas import segment_combine_pallas
+
+    tk, tw, tr, tg, tb = segment_combine_pallas(
+        sorted_keys, svals[:, 0], svals[:, 1], svals[:, 2], svals[:, 3], is_blend
+    )
+    count = jnp.sum((tk != INVALID_KEY).astype(jnp.int32))
+    ok, v0, v1, v2, v3 = jax.lax.sort(
+        (tk, tw, tr, tg, tb), num_keys=1, is_stable=False
+    )
+    return ok, jnp.stack([v0, v1, v2, v3], axis=-1), count
+
+
+def combine_pairs(keys, weight, rgb, is_blend, use_kernel=False):
     """Full combine of one pair stream: mask, sort, reduce, compact.
 
     keys:   (P,) int32 linear voxel keys (INVALID_KEY allowed)
@@ -96,17 +129,23 @@ def combine_pairs(keys, weight, rgb, is_blend):
             (reference voxelization.cpp:466 drops zero-weight UVs)
     rgb:    (P, 3) float32 colors
     is_blend: traced bool scalar (or python bool).
+    use_kernel: static; route the segmented reduce through the Pallas kernel
+            (TPU) instead of the associative-scan oracle.
     """
     live = weight > 0.0
     keys = jnp.where(live, keys, INVALID_KEY)
     vals = premultiply(weight, rgb)
-    sorted_keys, (svals,) = sort_pairs(keys, (vals,))
+    sorted_keys, svals = sort_vals4(keys, vals)
+    if use_kernel and sorted_keys.shape[0] % 2048 == 0:
+        return _combine_sorted_kernel(sorted_keys, svals, is_blend)
     return combine_sorted(sorted_keys, svals, is_blend)
 
 
-def merge_combined(keys, vals, is_blend):
+def merge_combined(keys, vals, is_blend, use_kernel=False):
     """Merge concatenated compacted (keys, vals) lists: one more sort+combine."""
-    sorted_keys, (svals,) = sort_pairs(keys, (vals,))
+    sorted_keys, svals = sort_vals4(keys, vals)
+    if use_kernel and sorted_keys.shape[0] % 2048 == 0:
+        return _combine_sorted_kernel(sorted_keys, svals, is_blend)
     return combine_sorted(sorted_keys, svals, is_blend)
 
 
