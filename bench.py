@@ -7,11 +7,15 @@ Baseline: the reference claims up to ~10 M voxels/s on high-end CPU hardware
 Mtriangles/s at 1024^3 (blend).  vs_baseline reports voxel throughput
 relative to the 10 Mvox/s reference claim.
 
-The mesh is generated on-device and benchmarked device-resident: this
+The mesh is benchmarked device-resident with outputs MATERIALIZED ON DEVICE
+(xyz+argb arrays; per-slab counts and a checksum cross the link): this
 container reaches its TPU through a ~15 MB/s relay tunnel whose host<->device
-transfer cost is an environment artifact (a real TPU host moves data over
-PCIe at GB/s), so including the tunnel would measure the relay, not the
-engine.  Pass a third argument "host" to include host loading + transfer.
+transfer cost is an environment artifact -- a real TPU host moves data over
+PCIe at GB/s, while the relay alone would cap ANY engine at ~1 Mvox/s -- so
+including the tunnel would measure the relay, not the engine.  Modes:
+  device (default): outputs on device, counts+checksum pulled.
+  pull:             outputs pulled to host through the relay.
+  host:             full host path including mesh transform + upload.
 """
 
 import json
@@ -41,7 +45,7 @@ def make_sphere_mesh(n_tris: int) -> np.ndarray:
     return np.concatenate([t1, t2]).astype(np.float32)
 
 
-def run_device_resident(n_target: int, resolution: int):
+def run_device_resident(n_target: int, resolution: int, pull: bool = False):
     import jax.numpy as jnp
 
     from obj2voxel_tpu.constants import ANTI_BLEED, TRI_MATERIALLESS
@@ -72,7 +76,8 @@ def run_device_resident(n_target: int, resolution: int):
 
     def run():
         voxels = 0
-        for xyz, argb in stream_slabs(
+        checks = []
+        for out in stream_slabs(
             table,
             jnp.asarray(pixels_np),
             jnp.asarray(meta_np),
@@ -81,8 +86,19 @@ def run_device_resident(n_target: int, resolution: int):
             z_extent=resolution,
             is_blend=True,
             do_down=False,
+            device_outputs=not pull,
         ):
-            voxels += xyz.shape[0]
+            if pull:
+                xyz, argb = out
+                voxels += xyz.shape[0]
+            else:
+                xyz, argb, count = out
+                voxels += count
+                # touch every output byte on device (proves materialization)
+                checks.append(jnp.sum(argb, dtype=jnp.uint32) ^ jnp.sum(
+                    xyz.astype(jnp.uint32)))
+        if checks:
+            float(np.asarray(sum(checks) & jnp.uint32(0xFFFF)))
         return voxels
 
     run()  # warmup / compile
@@ -114,7 +130,9 @@ def main():
     if mode == "host":
         n, voxels, elapsed = run_host(n_target, resolution)
     else:
-        n, voxels, elapsed = run_device_resident(n_target, resolution)
+        n, voxels, elapsed = run_device_resident(
+            n_target, resolution, pull=(mode == "pull")
+        )
 
     mtris = n / elapsed / 1e6
     mvox = voxels / elapsed / 1e6

@@ -466,7 +466,7 @@ extern "C" void obj2voxel_texture_free(obj2voxel_texture *texture) {
     delete texture;
 }
 
-static bool call_bool(PyObject *obj, PyObject *r, const char *where) {
+static bool call_bool(PyObject *, PyObject *r, const char *where) {
     if (!r) {
         print_py_error(where);
         return false;

@@ -315,3 +315,60 @@ long o2v_parse_stl(const char* data, long len, float* verts, long cap) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+namespace {
+inline char* put_uint(char* p, unsigned long v) {
+    char buf[20];
+    int n = 0;
+    do {
+        buf[n++] = (char)('0' + v % 10);
+        v /= 10;
+    } while (v);
+    while (n) *p++ = buf[--n];
+    return p;
+}
+inline char* put_int(char* p, long v) {
+    if (v < 0) {
+        *p++ = '-';
+        return put_uint(p, (unsigned long)(-v));
+    }
+    return put_uint(p, (unsigned long)v);
+}
+}  // namespace
+
+// ASCII "x y z r g b\n" lines (XYZRGB codec).  xyz: (n,3) int32, argb: (n,)
+// uint32.  Returns bytes written, or -1 if cap may be too small.
+long o2v_format_xyzrgb(const int* xyz, const unsigned* argb, long n,
+                       char* out, long cap) {
+    if (cap < n * 42) return -1;  // 3*11 + 3*4 + separators upper bound
+    char* p = out;
+    for (long i = 0; i < n; ++i) {
+        p = put_int(p, xyz[i * 3 + 0]); *p++ = ' ';
+        p = put_int(p, xyz[i * 3 + 1]); *p++ = ' ';
+        p = put_int(p, xyz[i * 3 + 2]); *p++ = ' ';
+        unsigned c = argb[i];
+        p = put_uint(p, (c >> 16) & 0xFF); *p++ = ' ';
+        p = put_uint(p, (c >> 8) & 0xFF); *p++ = ' ';
+        p = put_uint(p, c & 0xFF); *p++ = '\n';
+    }
+    return (long)(p - out);
+}
+
+// ASCII "x y z i 127\n" voxel lines (QEF codec).
+long o2v_format_qef(const int* xyz, const long* idx, long n,
+                    char* out, long cap) {
+    if (cap < n * 50) return -1;
+    char* p = out;
+    for (long i = 0; i < n; ++i) {
+        p = put_int(p, xyz[i * 3 + 0]); *p++ = ' ';
+        p = put_int(p, xyz[i * 3 + 1]); *p++ = ' ';
+        p = put_int(p, xyz[i * 3 + 2]); *p++ = ' ';
+        p = put_int(p, idx[i]);
+        *p++ = ' '; *p++ = '1'; *p++ = '2'; *p++ = '7'; *p++ = '\n';
+    }
+    return (long)(p - out);
+}
+
+}  // extern "C"

@@ -257,17 +257,44 @@ class Instance:
                 return C.ERR_OK
             log.info(f"Cached model with {len(soup)} triangles")
 
-            ok = True
-            for xyz, argb in voxelize_soup(
-                soup,
-                pool,
-                resolution=self._resolution,
-                supersampling=self._supersampling,
-                strategy=self._strategy,
-                unit_transform=self._unit_transform,
-                bounds=self._bounds,
-                pair_tile=self._pair_tile,
+            import jax as _jax
+
+            if (
+                self._parallel
+                and len(_jax.devices()) > 1
+                and self._unit_transform is None
+                and self._bounds is None
             ):
+                # multi-chip path: z-sharded over the device mesh (reference
+                # chunk parallelism, obj2voxel.cpp:503-507); unit transforms /
+                # explicit bounds fall back to the single-chip engine
+                from .parallel.mesh import voxelize_sharded
+
+                def _stream():
+                    yield voxelize_sharded(
+                        soup,
+                        pool,
+                        resolution=self._resolution,
+                        supersampling=self._supersampling,
+                        strategy=self._strategy,
+                        pair_tile=self._pair_tile,
+                    )
+
+                batches = _stream()
+            else:
+                batches = voxelize_soup(
+                    soup,
+                    pool,
+                    resolution=self._resolution,
+                    supersampling=self._supersampling,
+                    strategy=self._strategy,
+                    unit_transform=self._unit_transform,
+                    bounds=self._bounds,
+                    pair_tile=self._pair_tile,
+                )
+
+            ok = True
+            for xyz, argb in batches:
                 try:
                     sink.write(xyz, argb)
                 except OSError:

@@ -58,8 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable 2x supersampling")
     p.add_argument("-j", "--threads", dest="threads", type=int, default=None,
                    metavar="threads", help="accepted for compatibility; compute runs on TPU")
-    p.add_argument("-v", "--verbose", dest="verbose", action="store_true",
-                   help="enable verbose logging")
+    p.add_argument("-v", "--verbose", dest="verbose", action="count", default=0,
+                   help="enable verbose logging (-vv for per-slab progress)")
     p.add_argument("-V", "--version", dest="version", action="store_true",
                    help="print version and build info")
     p.add_argument("--80", dest="eighty", action="store_true",
@@ -85,8 +85,13 @@ def main(argv=None) -> int:
         parser.print_help()
         return 1
 
+    # async log backend, like the reference CLI (main.cpp:216,
+    # constants.hpp:23 ENABLE_ASYNC_LOGGING)
+    log.set_async(True)
     if args.verbose:
-        set_log_level(C.LOG_LEVEL_DEBUG)
+        # reference -v enables DEBUG + timestamps (main.cpp:357-361); -vv adds
+        # SPAM per-slab progress (reference obj2voxel.cpp:304-308)
+        set_log_level(C.LOG_LEVEL_DEBUG if args.verbose == 1 else C.LOG_LEVEL_SPAM)
         log.timestamps = True
 
     try:
@@ -144,6 +149,7 @@ def main(argv=None) -> int:
 
     elapsed = time.perf_counter() - start
     log.info(f"Done! ({elapsed:.3f} s)")
+    log.flush()
     return int(result)
 
 

@@ -60,6 +60,9 @@ LOG_LEVEL_ERROR = 1
 LOG_LEVEL_WARNING = 2
 LOG_LEVEL_INFO = 3
 LOG_LEVEL_DEBUG = 4
+#: voxelio-internal level below DEBUG (not part of the public C enum);
+#: per-slab progress logs use it (reference src/obj2voxel.cpp:304-308).
+LOG_LEVEL_SPAM = 5
 
 ERR_OK = 0
 ERR_NO_INPUT = 1

@@ -4,16 +4,22 @@ TPU-native replacement for the reference's engine/orchestrator
 (reference: src/obj2voxel.cpp:467-520): the stage-barrier worker pipeline
 (bounds -> transform -> sort-into-chunks -> voxelize-chunks) becomes
 
-  bounds reduce -> device triangle transform -> flat pair expansion ->
-  fused slab passes (tile loop -> clip -> color -> sort + segmented combine
-  -> optional 2x downscale -> finalize) -> compacted voxel stream
+  host: bounds -> transform -> subdivide -> GLOBAL (slab x bucket) plan
+  device: one per-triangle gather into plan order, then per-bucket passes
+          (slice rows -> static 2^k broadcast expansion -> rank decode ->
+           Pallas clip -> color -> multi-operand sort -> streaming segmented
+           combine -> compaction re-sort) -> hierarchical device merges ->
+          optional 2x downscale -> compacted voxel stream per z-slab
 
-Each z-slab executes as ONE device program (a fori_loop over pair tiles
-filling a raw pair buffer, then a single sort+combine): host<->device round
-trips are two per slab (a count pull and a data pull), which matters because
-the transport link has ~30 ms latency.  Slabs keep voxel keys within int32
-and stream the output in z order with bounded memory, the property the
-reference gets from 64^3 chunking (README.adoc:272-278).
+Round-2 hot-path rules (all measured on the TPU, probes/probe_r2.out):
+gathers only at TRIANGLE granularity (per-pair gathers ran at 2 GB/s and
+dominated round 1); expansion factors are STATIC per pass so turning rows
+into pair slots is pure data movement; sorts are the compaction primitive
+(multi-operand sort 3.1 ms vs 34 ms nonzero-compaction at 2^21); host<->link
+round trips are batched (the relay costs ~33 ms per pull regardless of size).
+Slabs keep voxel keys within int32 and stream the output in z order with
+bounded memory, the property the reference gets from 64^3 chunking
+(README.adoc:272-278).
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ import numpy as np
 
 from .constants import BLEND_STRATEGY, MAX_STRATEGY, PAIR_TILE, TRI_MATERIALLESS
 from .geometry import compute_mesh_transform, mesh_bounds
+from .utils.log import log as _log
 from .ops.clip import clip_channels
 from .ops.clip_pallas import clip_pairs_pallas
 from .ops.color import TexturePool, sample_pair_colors_uv
@@ -69,17 +76,21 @@ MAX_PASS_BUDGET = int(_os.environ.get("O2V_MAX_PASS_BUDGET", 1 << 21))
 #: bounded by the smallest rung.
 BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 23)
 
+#: Allowed merge-program sizes (rows).  Merges are sort+combine only, so much
+#: larger programs compile than full passes; slabs whose compacted pass
+#: outputs exceed the top rung fold hierarchically on device.
+MERGE_LADDER = (1 << 12, 1 << 16, 1 << 20, 1 << 23, 1 << 25)
+
 
 def _chunk_budget(remaining_slots: int, expand: int, max_budget: int) -> int:
-    """Pick the pass budget for the next chunk of a segment: the largest
-    ladder rung that is fully used (<= remaining), else the smallest rung
-    covering the tail.  Rungs below `expand` cannot host even one row."""
+    """Pick the pass budget for the next chunk of a segment: the smallest
+    ladder rung covering the remaining slots, else the max.  Rounding UP
+    minimizes pass count -- wasted tail slots cost ~7 ns each on device while
+    every extra pass costs a dispatch (and fragmented schedules measured 53
+    passes where 5 suffice).  Rungs below `expand` cannot host one row."""
     usable = [b for b in BUDGET_LADDER if expand <= b <= max_budget]
     if not usable:
         return max_budget
-    for b in reversed(usable):
-        if remaining_slots >= b:
-            return b
     for b in usable:
         if b >= remaining_slots:
             return b
@@ -210,7 +221,9 @@ def _combine_epilogue(
     return keys, vals, xyz, argb, count
 
 
-@functools.partial(jax.jit, static_argnames=("expand", "budget", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("expand", "budget", "use_pallas", "ref_weights")
+)
 def _bucket_pass(
     tableT,
     pixels,
@@ -227,6 +240,7 @@ def _bucket_pass(
     expand,
     budget,
     use_pallas,
+    ref_weights=False,
 ):
     """One fused pass over a contiguous run of same-bucket triangle rows.
 
@@ -300,6 +314,20 @@ def _bucket_pass(
         w1, u1, v1 = clip_channels(tri_data, vox_data)
         w, uv_u, uv_v = w1[0], u1[0], v1[0]
     w = jnp.where(valid, w, 0.0)
+    if ref_weights:
+        # reference-fidelity weighting: every occupied voxel weighs the WHOLE
+        # input triangle's area, not the clipped piece's (the reference's
+        # observable behavior at src/voxelization.cpp:416-417; its per-voxel
+        # weight is input_area x piece_count with piece_count almost always 1
+        # after subdivision).  Enabled with O2V_WEIGHT_MODE=input_area.
+        e1x, e1y, e1z = (rowsT[3] - rowsT[0], rowsT[4] - rowsT[1], rowsT[5] - rowsT[2])
+        e2x, e2y, e2z = (rowsT[6] - rowsT[0], rowsT[7] - rowsT[1], rowsT[8] - rowsT[2])
+        cx = e1y * e2z - e1z * e2y
+        cy = e1z * e2x - e1x * e2z
+        cz = e1x * e2y - e1y * e2x
+        area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+        area_e = expand_rows(area[None])[0]
+        w = jnp.where(w > 0, area_e, 0.0)
 
     if pixels.shape[0] > 1:  # static: texture pool non-empty
         r_type = expand_rows(rowsT[16:17])[0].astype(jnp.int32)
@@ -342,58 +370,33 @@ def _merge_pass(keys, vals, z_lo, stride, is_blend, do_downscale, *, budget,
 # --- pipeline --------------------------------------------------------------
 
 
-def _host_merge(pass_outputs, stride, z_lo, is_blend, do_down):
-    """Numpy fallback merge for slabs whose combined pass outputs exceed the
-    device pass budget (reference semantics preserved: blend = premultiplied
-    sums; max = leftmost strict maximum)."""
-    keys = np.concatenate([np.asarray(k) for k, _, c in pass_outputs])
-    vals = np.concatenate([np.asarray(v) for _, v, c in pass_outputs])
-    live = keys != int(INVALID_KEY)
-    keys, vals = keys[live], vals[live]
-    if keys.size == 0:
-        return None
+@functools.partial(jax.jit, static_argnames=("budget", "use_kernel"))
+def _merge_keys(keys, vals, is_blend, *, budget, use_kernel=False):
+    """Device-side fold of concatenated compacted outputs -> compacted
+    (keys, vals, count), still in slab-local key space."""
+    del budget  # shape key only
+    return merge_combined(keys, vals, is_blend, use_kernel=use_kernel)
 
-    if do_down:
-        s2 = stride // 2
-        x = keys % stride
-        y = (keys // stride) % stride
-        zl = keys // (stride * stride)
-        keys = ((zl // 2) * (s2 * s2) + (y // 2) * s2 + (x // 2)).astype(np.int32)
-        out_stride, z_base = s2, z_lo // 2
-    else:
-        out_stride, z_base = stride, z_lo
 
-    if is_blend:
-        order = np.argsort(keys, kind="stable")
-        sk = keys[order]
-        sv = vals[order]
-        heads = np.ones(sk.size, bool)
-        heads[1:] = sk[1:] != sk[:-1]
-        starts = np.nonzero(heads)[0]
-        out_keys = sk[starts]
-        summed = np.add.reduceat(sv, starts, axis=0)
-        w = summed[:, 0]
-        rgb = summed[:, 1:4] / np.where(w > 0, w, 1.0)[:, None]
-    else:
-        # leftmost strict maximum: sort by (key, -w, position)
-        pos = np.arange(keys.size)
-        order = np.lexsort((pos, -vals[:, 0], keys))
-        sk = keys[order]
-        sv = vals[order]
-        heads = np.ones(sk.size, bool)
-        heads[1:] = sk[1:] != sk[:-1]
-        out_keys = sk[heads]
-        picked = sv[heads]
-        w = picked[:, 0]
-        rgb = picked[:, 1:4] / np.where(w > 0, w, 1.0)[:, None]
-
-    x = out_keys % out_stride
-    y = (out_keys // out_stride) % out_stride
-    z = out_keys // (out_stride * out_stride) + z_base
-    xyz = np.stack([x, y, z], axis=-1).astype(np.int32)
-    q = np.clip(np.round(rgb * 255.0), 0, 255).astype(np.uint32)
-    argb = np.uint32(0xFF000000) | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
-    return xyz, argb
+def _fold_outputs(chunk, is_blend, use_pallas):
+    """Merge a chunk of compacted (keys, vals, count) outputs into one."""
+    rows = sum(k.shape[0] for k, _, _ in chunk)
+    pad_to = next((b for b in MERGE_LADDER if b >= rows), MERGE_LADDER[-1])
+    ks = [k for k, _, _ in chunk]
+    vs = [v for _, v, _ in chunk]
+    if pad_to > rows:
+        ks.append(jnp.full((pad_to - rows,), INVALID_KEY, jnp.int32))
+        vs.append(jnp.zeros((pad_to - rows, 4), jnp.float32))
+    keys, vals, count = _merge_keys(
+        jnp.concatenate(ks),
+        jnp.concatenate(vs),
+        jnp.bool_(is_blend),
+        budget=pad_to,
+        use_kernel=use_pallas,
+    )
+    c = int(count)
+    p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
+    return keys[:p2], vals[:p2], c
 
 
 def slab_plan(stride: int, z_extent: int | None = None):
@@ -615,12 +618,17 @@ def stream_slabs(
     do_down: bool,
     pair_tile: int = PAIR_TILE,
     max_pass_budget: int = MAX_PASS_BUDGET,
+    device_outputs: bool = False,
 ):
     """Device-resident slab streaming: `tri_table` is the packed (N, 24)
     per-triangle row table (see build_tri_table), already on device and in
     voxel space.  `aabb_host` is the host-side (vmin, vmax) int64 pair of
     per-triangle voxel AABBs (vmax exclusive, x/y already grid-clamped), used
-    by the global planner."""
+    by the global planner.
+
+    With device_outputs=True each yield is (xyz, argb, count) with xyz/argb
+    still ON DEVICE (count-padded); the first `count` rows are valid.  Used by
+    benchmarks and device-resident consumers to avoid the host link."""
     import time as _time
 
     timing = _os.environ.get("O2V_TIMING") == "1"
@@ -644,6 +652,7 @@ def stream_slabs(
     tableT = _gather_sorted(tri_table, jnp.asarray(order_pad))
 
     use_pallas = jax.default_backend() != "cpu"
+    ref_weights = _os.environ.get("O2V_WEIGHT_MODE") == "input_area"
 
     if timing:
         print(
@@ -662,33 +671,30 @@ def stream_slabs(
         n_passes = len(passes)
         multi = n_passes > 1
         pass_outputs = []
-
-        # issue passes without per-pass host syncs: collect device handles in
-        # a sliding window so the device pipelines back-to-back passes
-        WINDOW = 8
         in_flight = []
 
-        def drain(handle):
-            keys, vals, xyz, argb, count = handle
-            c = int(count)
+        def flush():
+            """Pull ALL in-flight pass counts in ONE transfer (the relay link
+            costs ~33 ms per pull regardless of size), then park the compacted
+            rows on device for the slab merge."""
+            nonlocal _t1
+            if not in_flight:
+                return
+            counts = np.asarray(jnp.stack([h[4] for h in in_flight]))
             if timing:
-                nonlocal _t1
                 _t2 = _time.perf_counter()
                 print(
-                    f"[o2v-timing]   drained pass: {(_t2 - _t1) * 1000:.0f}ms count={c}",
+                    f"[o2v-timing]   {len(in_flight)} passes "
+                    f"{(_t2 - _t1) * 1000:.0f}ms counts={counts.tolist()}",
                     flush=True,
                 )
                 _t1 = _t2
-            if c == 0:
-                return None
-            if not multi:
-                return _pull(xyz, c), _pull(argb, c)
-            # keep compacted pass outputs ON DEVICE (eager pow2 slice, no
-            # transfer); the slab merge below runs device-side and only the
-            # final result crosses the link
-            p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
-            pass_outputs.append((keys[:p2], vals[:p2], c))
-            return None
+            for (keys, vals, _, _, _), c in zip(in_flight, counts):
+                c = int(c)
+                if c:
+                    p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
+                    pass_outputs.append((keys[:p2], vals[:p2], c))
+            in_flight.clear()
 
         for expand, budget, r0, n_rows, local_base in passes:
             handle = _bucket_pass(
@@ -707,35 +713,53 @@ def stream_slabs(
                 expand=expand,
                 budget=budget,
                 use_pallas=use_pallas,
+                ref_weights=ref_weights,
             )
             in_flight.append(handle)
-            if len(in_flight) >= WINDOW:
-                out = drain(in_flight.pop(0))
-                if out is not None:
-                    yield out
+            # bound in-flight device memory for giant slabs
+            if multi and len(in_flight) >= 16:
+                flush()
 
-        for handle in in_flight:
-            out = drain(handle)
-            if out is not None:
-                yield out
-
-        if multi and pass_outputs:
-            total_rows = sum(k.shape[0] for k, _, _ in pass_outputs)
-            if total_rows > MAX_PASS_BUDGET:
-                # device programs above the pass budget cannot compile in this
-                # environment; merge the (already compacted) outputs on host
-                out = _host_merge(
-                    pass_outputs, sample_res, z_lo, is_blend, do_down
+        if not multi:
+            keys, vals, xyz, argb, count = in_flight[0]
+            c = int(count)
+            if timing:
+                print(
+                    f"[o2v-timing]   single pass {( _time.perf_counter() - _t1) * 1000:.0f}ms "
+                    f"count={c}",
+                    flush=True,
                 )
-                if out is not None:
-                    yield out
-                continue
-            # coarse merge-size ladder bounds compile variants
-            merge_pad = next(
-                (b for b in (1 << 12, 1 << 16, 1 << 20, 1 << 21)
-                 if b >= total_rows),
-                MAX_PASS_BUDGET,
-            )
+            _log.spam(f"Voxelized slab z[{z_lo},{z_hi}) p:1 -> {c}")
+            if c:
+                if device_outputs:
+                    yield xyz, argb, c
+                else:
+                    yield _pull(xyz, c), _pull(argb, c)
+            continue
+
+        flush()
+        if pass_outputs:
+            # hierarchical device-side merging: fold compacted pass outputs in
+            # ladder-sized chunks until one final merge fits (the round-1 host
+            # fallback pulled every pass's rows over the ~15 MB/s relay and
+            # numpy-sorted them -- measured as the dominant cost at 2M tris)
+            while sum(k.shape[0] for k, _, _ in pass_outputs) > MERGE_LADDER[-1]:
+                folded, chunk, rows = [], [], 0
+                for item in pass_outputs:
+                    if rows and rows + item[0].shape[0] > MERGE_LADDER[-1]:
+                        folded.append(_fold_outputs(chunk, is_blend, use_pallas))
+                        chunk, rows = [], 0
+                    chunk.append(item)
+                    rows += item[0].shape[0]
+                if len(chunk) == len(pass_outputs):
+                    break  # nothing left to fold (single oversized chunk)
+                if chunk:
+                    folded.append(_fold_outputs(chunk, is_blend, use_pallas))
+                pass_outputs = folded
+
+            total_rows = sum(k.shape[0] for k, _, _ in pass_outputs)
+            merge_pad = next((b for b in MERGE_LADDER if b >= total_rows),
+                             MERGE_LADDER[-1])
             pad = merge_pad - total_rows
             ks = [k for k, _, _ in pass_outputs]
             vs = [v for _, v, _ in pass_outputs]
@@ -759,8 +783,12 @@ def stream_slabs(
                     f"rows={total_rows} -> count={count}",
                     flush=True,
                 )
+            _log.spam(f"Voxelized slab z[{z_lo},{z_hi}) p:{n_passes} -> {count}")
             if count:
-                yield _pull(xyz, count), _pull(argb, count)
+                if device_outputs:
+                    yield xyz, argb, count
+                else:
+                    yield _pull(xyz, count), _pull(argb, count)
 
 
 def voxelize_batch(

@@ -72,6 +72,22 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_long,
             ]
+            lib.o2v_format_xyzrgb.restype = ctypes.c_long
+            lib.o2v_format_xyzrgb.argtypes = [
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_uint),
+                ctypes.c_long,
+                ctypes.c_char_p,
+                ctypes.c_long,
+            ]
+            lib.o2v_format_qef.restype = ctypes.c_long
+            lib.o2v_format_qef.argtypes = [
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.c_long,
+                ctypes.c_char_p,
+                ctypes.c_long,
+            ]
             _LIB = lib
             break
         except OSError:
@@ -121,6 +137,40 @@ def parse_obj_native(content: bytes):
     finally:
         lib.o2v_obj_free(ctypes.byref(mesh))
     return out
+
+
+def format_xyzrgb_native(xyz: np.ndarray, argb: np.ndarray):
+    """Bulk-format "x y z r g b" lines; returns bytes or None (no library)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = xyz.shape[0]
+    xyz = np.ascontiguousarray(xyz, np.int32)
+    argb = np.ascontiguousarray(argb, np.uint32)
+    out = ctypes.create_string_buffer(n * 42)
+    got = lib.o2v_format_xyzrgb(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        argb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
+        n, out, n * 42,
+    )
+    return out.raw[:got] if got >= 0 else None
+
+
+def format_qef_native(xyz: np.ndarray, idx: np.ndarray):
+    """Bulk-format "x y z i 127" lines; returns bytes or None (no library)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = xyz.shape[0]
+    xyz = np.ascontiguousarray(xyz, np.int32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = ctypes.create_string_buffer(n * 50)
+    got = lib.o2v_format_qef(
+        xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n, out, n * 50,
+    )
+    return out.raw[:got] if got >= 0 else None
 
 
 def parse_stl_native(content: bytes):

@@ -105,9 +105,19 @@ class PlyWriter(VoxelWriter):
 
 
 class XyzRgbWriter(VoxelWriter):
-    """ASCII "x y z r g b" lines (FileToVox-compatible xyzrgb)."""
+    """ASCII "x y z r g b" lines (FileToVox-compatible xyzrgb).
+
+    Formatting goes through the native bulk formatter when available
+    (native/src/meshparse.cpp); the Python join would take minutes at
+    north-star voxel counts."""
 
     def _write(self, xyz, argb):
+        from .native import format_xyzrgb_native
+
+        buf = format_xyzrgb_native(np.asarray(xyz), np.asarray(argb))
+        if buf is not None:
+            self.stream.write(buf)
+            return
         r = (argb >> 16) & 0xFF
         g = (argb >> 8) & 0xFF
         b = argb & 0xFF
@@ -146,14 +156,30 @@ class QefWriter(_PalettedWriter):
         w.write(b"Qubicle Exchange Format\nVersion 0.2\nwww.minddesk.com\n")
         w.write(f"{r} {r} {r}\n".encode())
         w.write(f"{len(colors)}\n".encode())
-        cr = ((colors >> 16) & 0xFF) / 255.0
-        cg = ((colors >> 8) & 0xFF) / 255.0
-        cb = (colors & 0xFF) / 255.0
-        pal_lines = "\n".join(
-            f"{cr[i]:.6f} {cg[i]:.6f} {cb[i]:.6f} 0" for i in range(len(colors))
-        )
+        # all palette components are i/255 for byte i, so "%.6f" has exactly
+        # 256 possible 8-char strings: format the palette as a fixed-width
+        # byte matrix via a lookup table (vectorized, no per-color Python)
         if len(colors):
-            w.write((pal_lines + "\n").encode())
+            lut = np.frombuffer(
+                b"".join(b"%.6f" % (i / 255.0) for i in range(256)), np.uint8
+            ).reshape(256, 8)
+            line = np.empty((len(colors), 29), np.uint8)  # "r g b 0\n"
+            line[:, 0:8] = lut[((colors >> 16) & 0xFF).astype(np.int64)]
+            line[:, 8] = ord(" ")
+            line[:, 9:17] = lut[((colors >> 8) & 0xFF).astype(np.int64)]
+            line[:, 17] = ord(" ")
+            line[:, 18:26] = lut[(colors & 0xFF).astype(np.int64)]
+            line[:, 26] = ord(" ")
+            line[:, 27] = ord("0")
+            line[:, 28] = ord("\n")
+            w.write(line.tobytes())
+
+        from .native import format_qef_native
+
+        buf = format_qef_native(xyz, indices)
+        if buf is not None:
+            w.write(buf)
+            return
         vox = np.column_stack([xyz.astype(np.int64), indices.astype(np.int64)])
         vox_lines = "\n".join(f"{x} {y} {z} {i} 127" for x, y, z, i in vox)
         if len(vox):

@@ -29,29 +29,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .clip import _area_uv, _clip_polygons
 
-#: pairs per grid step; slots grow to 10 x 5 x B f32 (~200 B/pair) in VMEM.
-BLOCK = 4096
+#: pairs per grid step, laid out (SUB, 128) so every vector op fills all 8
+#: VPU sublanes.  Round-1 used (1, 4096)-shaped channels -- one sublane per
+#: op, i.e. 1/8 of the VPU -- and measured 8.6 ns/pair.
+SUB = 32
+BLOCK = SUB * 128
 
 
 def _kernel(tri_ref, vox_ref, out_ref):
-    t = tri_ref[...]  # (16, B) f32
-    v = vox_ref[...]  # (4, B) f32
+    t = tri_ref[...]  # (16, SUB, 128) f32
+    v = vox_ref[...]  # (4, SUB, 128) f32
 
     def slot(i):
-        # (5, B): x, y, z, u, v of vertex i
+        # (5, SUB, 128): x, y, z, u, v of vertex i
         return jnp.concatenate(
-            [t[3 * i : 3 * i + 3, :], t[9 + 2 * i : 9 + 2 * i + 2, :]], axis=0
+            [t[3 * i : 3 * i + 3], t[9 + 2 * i : 9 + 2 * i + 2]], axis=0
         )
 
     s0 = slot(0)
     slots = [s0, slot(1), slot(2), s0]  # closed triangle
-    count = jnp.full((1, t.shape[1]), 3, jnp.int32)
-    voxel_f = [v[0:1, :], v[1:2, :], v[2:3, :]]
+    count = jnp.full(t.shape[1:], 3, jnp.int32)
+    voxel_f = [v[0], v[1], v[2]]
 
     slots, count = _clip_polygons(slots, count, voxel_f)
     weight, uv_u, uv_v = _area_uv(slots, count)
 
-    out_ref[...] = jnp.concatenate(
+    out_ref[...] = jnp.stack(
         [weight, uv_u, uv_v, jnp.zeros_like(weight)], axis=0
     )
 
@@ -60,21 +63,29 @@ def _kernel(tri_ref, vox_ref, out_ref):
 def clip_pairs_pallas(tri_data, vox_data, interpret=False):
     """tri_data (16, P) f32, vox_data (4, P) f32 -> (4, P) f32 (w, u, v, 0)."""
     P = tri_data.shape[1]
-    block = min(BLOCK, P)
-    assert P % block == 0, (P, block)
-    grid = P // block
+    if P % BLOCK:
+        pad = BLOCK - P % BLOCK
+        tri_data = jnp.pad(tri_data, ((0, 0), (0, pad)))
+        vox_data = jnp.pad(vox_data, ((0, 0), (0, pad)))
+        return clip_pairs_pallas(tri_data, vox_data, interpret=interpret)[:, :P]
+    grid = P // BLOCK
 
-    return pl.pallas_call(
+    t3 = tri_data.reshape(16, P // 128, 128)
+    v3 = vox_data.reshape(4, P // 128, 128)
+    out = pl.pallas_call(
         _kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, SUB, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, SUB, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((4, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, P), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (4, SUB, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, P // 128, 128), jnp.float32),
         interpret=interpret,
-    )(tri_data, vox_data)
+    )(t3, v3)
+    return out.reshape(4, P)
 
 
 def clip_triangles_to_voxels_pallas(verts, uvs, voxel_pos, interpret=False):

@@ -166,10 +166,19 @@ def downscale_keys(keys, stride):
 
 
 def finalize_colors(vals):
-    """Premultiplied (P, 4) -> float rgb in [0, 1]."""
+    """Premultiplied (P, 4) -> float rgb in [0, 1].
+
+    The quotient gets one residual (Newton) correction: TPU lowers f32
+    divide to reciprocal + Newton, which can sit 1 ulp below the correctly
+    rounded quotient and flip round-half boundaries in pack_argb (e.g.
+    Kd 0.1 -> byte 25 on device vs 26 on the CPU oracle / the reference's
+    exact IEEE divide).
+    """
     w = vals[:, 0]
-    safe = jnp.where(w > 0, w, 1.0)
-    return vals[:, 1:4] / safe[:, None]
+    safe = jnp.where(w > 0, w, 1.0)[:, None]
+    num = vals[:, 1:4]
+    q = num / safe
+    return q + (num - q * safe) / safe
 
 
 def pack_argb(rgb):

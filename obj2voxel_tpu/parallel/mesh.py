@@ -1,71 +1,135 @@
 """Multi-chip voxelization: spatial data parallelism over a device mesh.
 
 TPU-native replacement for the reference's worker-pool chunk parallelism
-(reference: src/obj2voxel.cpp:254-314, threading.hpp): the voxel grid is
-sharded into z-slabs across devices on a 1-D `jax.sharding.Mesh`; triangles
-are replicated (they are small relative to pair work) and each device
-expands/clips/combines only the pairs that fall in its slab.  Because slabs
-are disjoint in z and the combine is associative, no inter-chip communication
-is needed for the voxel data itself -- the only collective is a `psum` of the
-per-device voxel counts, which rides ICI (SURVEY.md section 2.4's mapping).
+(reference: src/obj2voxel.cpp:254-314, 503-507, threading.hpp): the voxel grid
+is sharded into z-slabs across devices on a 1-D `jax.sharding.Mesh`; the
+triangle table is replicated (the reference likewise shares the cached mesh
+across workers) and each device runs the SAME bucketed pass program as the
+single-chip engine over its own pass metadata.  Because device slabs are
+disjoint in z and the combine is associative, voxel data needs no inter-chip
+communication; the only collective is the implicit output gather.
+
+Round-2 redesign (replaces the round-1 dryrun-scale path that truncated work
+to one pair tile per device): per-device pass schedules come from the same
+global planner as the single-chip engine (ops/plan.py with a z-window per
+device), passes are grouped by their static (expand, budget) shape so every
+device executes an identical program per round -- devices with fewer passes
+in a round run it with n_rows == 0 and produce nothing -- and per-device
+compacted outputs are merged device-side at the end of each slab round.
+
+Scaling model: tall grids are processed as LOCKSTEP sub-slabs (every device
+window is split by the same int32-key height cap), so arbitrarily large
+resolutions stream with bounded memory exactly like the single-chip engine.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..constants import BLEND_STRATEGY, MAX_STRATEGY
+from ..constants import BLEND_STRATEGY, MAX_STRATEGY, PAIR_TILE
+from ..engine import (
+    MAX_PASS_BUDGET,
+    TriangleSoup,
+    _bucket_pass,
+    _merge_pass,
+    _pow2_at_least,
+    _schedule_passes,
+    build_tri_table,
+    _pad_tris,
+)
 from ..geometry import compute_mesh_transform, mesh_bounds
-from ..ops.clip import clip_triangles_to_voxels
-from ..ops.color import TexturePool, sample_pair_colors
-from ..ops.combine import combine_pairs, finalize_colors, pack_argb
-from ..ops.expand import expand_tile, pair_offsets, triangle_aabbs
+from ..ops.color import TexturePool
+from ..ops.combine import INVALID_KEY
+from ..ops.plan import Segment, plan_mesh
+from ..ops.subdivide import subdivide_soup
+
+_PASS_CACHE: dict = {}
+_MERGE_CACHE: dict = {}
 
 
-def _per_device_voxelize(
-    verts_t, uvs, types, rgb, tex, pixels, meta, *, resolution, slab_h, tile_size, strategy
-):
-    """Voxelize this device's z-slab.  Runs inside shard_map."""
-    idx = jax.lax.axis_index("z")
-    z_lo = (idx * slab_h).astype(jnp.int32)
-    z_hi = jnp.minimum(z_lo + slab_h, resolution)
+def _device_windows(z_extent: int, n_devices: int, align: int = 2):
+    """Equal-height (last may be short), even-aligned per-device z ranges."""
+    h = -(-z_extent // n_devices)
+    if h % align:
+        h += align - h % align
+    return [(min(d * h, z_extent), min((d + 1) * h, z_extent)) for d in range(n_devices)], h
 
-    tmin, sizes = triangle_aabbs(verts_t, resolution, z_lo, z_hi)
-    starts, total = pair_offsets(sizes)
-    total = jnp.minimum(total, tile_size)  # dryrun-scale: one tile per device
 
-    tri, voxel, valid = expand_tile(starts, total, tmin, sizes, 0, tile_size)
-    weight, uv = clip_triangles_to_voxels(verts_t[tri], uvs[tri], voxel)
-    weight = jnp.where(valid, weight, 0.0)
-    colors = sample_pair_colors(uv, types[tri], rgb[tri], tex[tri], pixels, meta)
+def _sharded_pass(mesh, expand, budget, use_pallas):
+    key = (id(mesh), expand, budget, use_pallas)
+    fn = _PASS_CACHE.get(key)
+    if fn is not None:
+        return fn
 
-    stride = jnp.int32(resolution)
-    key = (voxel[:, 2] - z_lo) * (stride * stride) + voxel[:, 1] * stride + voxel[:, 0]
-    keys, vals, count = combine_pairs(
-        key.astype(jnp.int32), weight, colors, strategy == BLEND_STRATEGY
+    def per_device(tableT, pixels, meta, r0, n_rows, local_base, z_lo, z_hi,
+                   stride, is_blend, do_down):
+        keys, vals, xyz, argb, count = _bucket_pass(
+            tableT, pixels, meta,
+            r0[0], n_rows[0], local_base[0], z_lo[0], z_hi[0],
+            stride, is_blend, do_down,
+            expand=expand, budget=budget, use_pallas=use_pallas,
+        )
+        return keys[None], vals[None], count[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("z"), P("z"), P("z"), P("z"), P("z"),
+                      P(), P(), P()),
+            out_specs=(P("z"), P("z"), P("z")),
+        )
     )
+    _PASS_CACHE[key] = fn
+    return fn
 
-    total_count = jax.lax.psum(count, "z")
-    return keys[None], vals[None], count[None], z_lo[None], total_count[None]
+
+def _sharded_merge(mesh, rows, use_pallas):
+    key = (id(mesh), rows, use_pallas)
+    fn = _MERGE_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def per_device(keys, vals, z_lo, stride, is_blend, do_down):
+        xyz, argb, count = _merge_pass(
+            keys[0], vals[0], z_lo[0], stride, is_blend, do_down,
+            budget=rows, use_kernel=use_pallas,
+        )
+        return xyz[None], argb[None], count[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("z"), P("z"), P("z"), P(), P(), P()),
+            out_specs=(P("z"), P("z"), P("z")),
+        )
+    )
+    _MERGE_CACHE[key] = fn
+    return fn
 
 
-def make_sharded_voxelizer(
-    n_devices: int | None = None,
+def voxelize_sharded(
+    soup: TriangleSoup,
+    pool: TexturePool | None = None,
     *,
     resolution: int,
-    tile_size: int = 1 << 14,
     strategy: int = MAX_STRATEGY,
+    supersampling: int = 1,
+    n_devices: int | None = None,
     devices=None,
+    pair_tile: int = PAIR_TILE,
+    max_pass_budget: int = MAX_PASS_BUDGET,
+    tile_size: int | None = None,
 ):
-    """Build a jitted, mesh-sharded voxelize step.
+    """Voxelize across a device mesh; returns (xyz (K,3) int32, argb (K,) u32).
 
-    Returns (fn, mesh) where fn(verts_t, uvs, types, rgb, tex, pixels, meta)
-    -> (keys (D, T), vals (D, T, 4), counts (D,), z_los (D,), total (D,)).
+    Output matches the single-chip engine voxel-for-voxel (same pass kernels,
+    same combine semantics; z-disjoint slabs make merge order irrelevant).
+    `tile_size` is the deprecated round-1 alias for the pass budget.
     """
     if devices is None:
         devices = jax.devices()
@@ -73,97 +137,148 @@ def make_sharded_voxelizer(
         n_devices = len(devices)
     devices = np.asarray(devices[:n_devices])
     mesh = Mesh(devices, ("z",))
-    slab_h = -(-resolution // n_devices)
-    if slab_h % 2 and n_devices > 1:
-        slab_h += 1  # even slabs keep 2x downscale slab-local
-
-    kernel = functools.partial(
-        _per_device_voxelize,
-        resolution=resolution,
-        slab_h=slab_h,
-        tile_size=tile_size,
-        strategy=strategy,
-    )
-
-    fn = jax.jit(
-        jax.shard_map(
-            kernel,
-            mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P(), P(), P()),
-            out_specs=(P("z"), P("z"), P("z"), P("z"), P("z")),
-        )
-    )
-    return fn, mesh
-
-
-def voxelize_sharded(
-    soup,
-    pool: TexturePool | None = None,
-    *,
-    resolution: int,
-    strategy: int = MAX_STRATEGY,
-    n_devices: int | None = None,
-    tile_size: int = 1 << 14,
-):
-    """Run a mesh-sharded voxelization; returns (xyz (K,3) int32, argb-ready
-    vals (K,4) float32, strategy) aggregated across devices.
-
-    Intended for moderate-size meshes that fit one pair tile per device slab;
-    the streaming single-device engine handles everything else this round.
-    """
-
-    @jax.jit
-    def _finalize(keys, vals, z_base, stride):
-        x = keys % stride
-        y = (keys // stride) % stride
-        z = keys // (stride * stride) + z_base
-        xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
-        argb = pack_argb(finalize_colors(vals))
-        return xyz, argb
+    if tile_size is not None:
+        max_pass_budget = min(max_pass_budget, tile_size)
+    max_budget = min(pair_tile, max_pass_budget)
+    use_pallas = jax.default_backend() != "cpu"
 
     n = len(soup)
+    empty = (np.zeros((0, 3), np.int32), np.zeros((0,), np.uint32))
     if n == 0:
-        return np.zeros((0, 3), np.int32), np.zeros((0,), np.uint32)
+        return empty
+
+    sample_res = resolution * supersampling
+    is_blend = bool(strategy == BLEND_STRATEGY)
+    do_down = bool(supersampling > 1)
 
     mesh_min, mesh_max = mesh_bounds(soup.verts)
-    transform = compute_mesh_transform(mesh_min, mesh_max, resolution)
-    verts_t = transform.apply(soup.verts)
+    transform = compute_mesh_transform(mesh_min, mesh_max, sample_res)
+    verts_host = transform.apply(soup.verts)
+    verts_host, uvs_host, tri_index = subdivide_soup(verts_host, soup.uvs)
+    types_host = soup.types[tri_index]
+    rgb_host = soup.rgb[tri_index]
+    tex_host = soup.tex[tri_index]
 
     if pool is None:
         pool = TexturePool()
-    pixels, meta = pool.device_arrays()
+    pixels_np, meta_np = pool.device_arrays()
+    pixels = jnp.asarray(pixels_np)
+    meta = jnp.asarray(meta_np)
 
-    fn, mesh = make_sharded_voxelizer(
-        n_devices, resolution=resolution, tile_size=tile_size, strategy=strategy
-    )
-    keys, vals, counts, z_los, _total = fn(
-        jnp.asarray(verts_t),
-        jnp.asarray(soup.uvs),
-        jnp.asarray(soup.types),
-        jnp.asarray(soup.rgb),
-        jnp.asarray(soup.tex),
-        jnp.asarray(pixels),
-        jnp.asarray(meta),
-    )
+    clamp_hi = np.array([sample_res, sample_res, sample_res], np.float32)
+    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi).astype(np.int64)
+    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int64)
 
-    keys = np.asarray(keys)
-    vals = np.asarray(vals)
-    counts = np.asarray(counts)
-    z_los = np.asarray(z_los)
+    n_pad = _pow2_at_least(verts_host.shape[0])
+    verts, uvs, types, rgb, tex = _pad_tris(
+        [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
+    )
+    table = jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex))
+
+    windows, win_h = _device_windows(sample_res, n_devices)
+    # lockstep sub-slabs: same key-height cap on every device window
+    max_h = max(2, (2**31 - 2) // (sample_res * sample_res))
+    if max_h % 2:
+        max_h -= 1
+    sub_h = min(win_h, max_h)
+    n_sub = -(-win_h // sub_h)
 
     out_xyz, out_argb = [], []
-    for d in range(keys.shape[0]):
-        c = int(counts[d])
-        if not c:
+    for s in range(n_sub):
+        # --- plan this sub-slab round on every device ------------------------
+        per_dev = []
+        all_order = []
+        base = 0
+        for w0, w1 in windows:
+            z0 = min(w0 + s * sub_h, w1)
+            z1 = min(z0 + sub_h, w1)
+            order_d, segs_d = plan_mesh(
+                vmin_h, vmax_h, sample_res, sample_res,
+                slot_budget=4 * max_budget, z_window=(z0, z1),
+            )
+            if order_d is None:
+                per_dev.append({})
+                continue
+            segs_d = [
+                Segment(sg.z_lo, sg.z_hi, sg.k, sg.r0 + base, sg.r1 + base)
+                for sg in segs_d
+            ]
+            all_order.append(order_d)
+            base += order_d.size
+            sched: dict = {}
+            for expand, budget, r0, n_rows, local_base in _schedule_passes(
+                segs_d, max_budget
+            ):
+                sched.setdefault((expand, budget), []).append(
+                    (r0, n_rows, local_base, z0, z1)
+                )
+            per_dev.append(sched)
+
+        if base == 0:
             continue
-        xyz, argb = _finalize(
-            jnp.asarray(keys[d]),
-            jnp.asarray(vals[d]),
-            jnp.int32(z_los[d]),
-            jnp.int32(resolution),
+        order = np.concatenate(all_order) if all_order else np.zeros(0, np.int32)
+        m_pad = _pow2_at_least(base + max_budget, 1 << 10)
+        order_pad = np.zeros(m_pad, np.int32)
+        order_pad[:base] = order
+        tableT = table[jnp.asarray(order_pad)].T
+
+        # --- aligned rounds per (expand, budget) class -----------------------
+        classes = sorted({c for sched in per_dev for c in sched})
+        dev_rows = []  # accumulated per-pass compacted outputs (device handles)
+        for cls in classes:
+            expand, budget = cls
+            rounds = max(len(sched.get(cls, ())) for sched in per_dev)
+            fn = _sharded_pass(mesh, expand, budget, use_pallas)
+            for j in range(rounds):
+                metas = np.zeros((5, n_devices), np.int32)
+                for d, sched in enumerate(per_dev):
+                    plist = sched.get(cls, ())
+                    if j < len(plist):
+                        metas[:, d] = plist[j]
+                keys, vals, counts = fn(
+                    tableT, pixels, meta,
+                    jnp.asarray(metas[0]), jnp.asarray(metas[1]),
+                    jnp.asarray(metas[2]), jnp.asarray(metas[3]),
+                    jnp.asarray(metas[4]),
+                    jnp.int32(sample_res), jnp.bool_(is_blend),
+                    # downscale happens at the merge
+                    jnp.bool_(False),
+                )
+                dev_rows.append((keys, vals))
+
+        if not dev_rows:
+            continue
+
+        # --- device-side merge of this round's outputs ------------------------
+        total = sum(k.shape[1] for k, _ in dev_rows)
+        rows = _pow2_at_least(total, 1 << 12)
+        pad = rows - total
+        ks = [k for k, _ in dev_rows]
+        vs = [v for _, v in dev_rows]
+        if pad:
+            ks.append(jnp.full((n_devices, pad), INVALID_KEY, jnp.int32))
+            vs.append(jnp.zeros((n_devices, pad, 4), jnp.float32))
+        z_los = jnp.asarray(
+            [min(w0 + s * sub_h, w1) for w0, w1 in windows], jnp.int32
         )
-        out_xyz.append(np.asarray(xyz)[:c])
-        out_argb.append(np.asarray(argb)[:c])
+        merge = _sharded_merge(mesh, rows, use_pallas)
+        xyz, argb, counts = merge(
+            jnp.concatenate(ks, axis=1),
+            jnp.concatenate(vs, axis=1),
+            z_los,
+            jnp.int32(sample_res),
+            jnp.bool_(is_blend),
+            jnp.bool_(do_down),
+        )
+        counts = np.asarray(counts)
+        xyz = np.asarray(xyz)
+        argb = np.asarray(argb)
+        for d in range(n_devices):
+            c = int(counts[d])
+            if c:
+                out_xyz.append(xyz[d, :c])
+                out_argb.append(argb[d, :c])
+
     if not out_xyz:
-        return np.zeros((0, 3), np.int32), np.zeros((0,), np.uint32)
+        return empty
     return np.concatenate(out_xyz), np.concatenate(out_argb)

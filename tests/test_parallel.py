@@ -1,6 +1,8 @@
 """Multi-device sharded voxelization on the virtual 8-device CPU mesh
 (the analog of the reference's parallel worker tests, SURVEY.md section 4)."""
 
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import pytest
 
@@ -51,3 +53,28 @@ def test_sharded_odd_device_count(cube_soup):
     r = 16
     xyz, _ = voxelize_sharded(cube_soup, resolution=r, n_devices=3, tile_size=1 << 12)
     assert xyz.shape[0] == expected_unit_cube_voxels(r)
+
+
+def test_sharded_large_mesh_matches_single_device(pair_tile):
+    """>=100k-triangle mesh: the sharded path must produce the full voxel set
+    (the round-1 path silently truncated work beyond one tile per device)."""
+    from bench import make_sphere_mesh
+
+    tris = make_sphere_mesh(100_000)
+    soup = TriangleSoup.from_vertices(tris)
+    r = 32
+
+    xyz_s, argb_s = voxelize_sharded(
+        soup, resolution=r, n_devices=8, pair_tile=pair_tile
+    )
+    sharded = {tuple(v): int(c) for v, c in zip(xyz_s, argb_s)}
+    assert len(sharded) == xyz_s.shape[0]  # no duplicates across devices
+
+    single = {}
+    for xyz, argb in voxelize_soup(soup, resolution=r, pair_tile=pair_tile):
+        for v, c in zip(xyz, argb):
+            single[tuple(v)] = int(c)
+
+    assert set(sharded) == set(single)
+    # colors: identical combine semantics; MAX selections are bit-exact
+    assert sharded == single
