@@ -62,6 +62,7 @@ from .ops.combine import (
     pack_argb,
 )
 from .ops.plan import plan_mesh
+from .ops.plan_device import plan_mesh_device
 from .ops.subdivide import subdivide_soup
 
 #: Maximum pairs materialized per device pass (raw buffer ~20 B/pair).
@@ -600,9 +601,21 @@ def _schedule_passes(segments, max_budget):
     return passes
 
 
-@jax.jit
-def _gather_sorted(table, order):
-    """Gather triangle rows into plan order, channel-major (24, M)."""
+@functools.partial(jax.jit, static_argnames=("pad_to",))
+def _gather_sorted(table, order, *, pad_to=None):
+    """Gather triangle rows into plan order, channel-major (24, M).
+
+    `pad_to` sizes the gather ON DEVICE: a host-built order crosses the
+    ~15 MB/s relay link, so it is uploaded pow2-of-m sized and the slack
+    needed so no pass's dynamic_slice can clamp is manufactured here; a
+    device-built order (ops/plan_device.py) arrives oversized (dead-incidence
+    tail) and is sliced instead."""
+    if pad_to is not None and pad_to > order.shape[0]:
+        order = jnp.concatenate(
+            [order, jnp.zeros(pad_to - order.shape[0], jnp.int32)]
+        )
+    elif pad_to is not None and pad_to < order.shape[0]:
+        order = jax.lax.slice(order, (0,), (pad_to,))
     return table[order].T
 
 
@@ -637,19 +650,36 @@ def stream_slabs(
     max_budget = min(pair_tile, max_pass_budget)
 
     _t0 = _time.perf_counter()
-    order, segments = plan_mesh(
-        vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_budget
-    )
-    if order is None:
-        return
+    # device-side plan (sort + order stay on device; two tiny pulls) with a
+    # host fallback for many-slab grids (batch mode) or if disabled
+    planned = None
+    if _os.environ.get("O2V_HOST_PLAN") != "1":
+        planned = plan_mesh_device(
+            tri_table, vmin_h.shape[0], stride, z_extent,
+            slot_budget=4 * max_budget,
+        )
+    if planned is not None:
+        order_dev, segments = planned
+        if order_dev is None:
+            return
+        m = segments[-1].r1
+        order_arg = order_dev
+    else:
+        order, segments = plan_mesh(
+            vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_budget
+        )
+        if order is None:
+            return
+        m = order.size
+        m_up = _pow2_at_least(m, 1 << 10)
+        order_up = np.zeros(m_up, np.int32)
+        order_up[:m] = order
+        order_arg = jnp.asarray(order_up)
 
     # one per-TRIANGLE gather for the whole mesh; padded so no pass's
     # dynamic_slice can clamp (clamping would alias real rows)
-    m = order.size
     m_pad = _pow2_at_least(m + max_budget, 1 << 10)
-    order_pad = np.zeros(m_pad, np.int32)
-    order_pad[:m] = order
-    tableT = _gather_sorted(tri_table, jnp.asarray(order_pad))
+    tableT = _gather_sorted(tri_table, order_arg, pad_to=m_pad)
 
     use_pallas = jax.default_backend() != "cpu"
     ref_weights = _os.environ.get("O2V_WEIGHT_MODE") == "input_area"

@@ -102,8 +102,6 @@ def plan_adaptive_slabs(vmin, vmax, stride, z_extent, slot_budget, align=2):
     should pass a budget with margin).  Boundaries are aligned to `align`
     (2 keeps supersampled downscale slab-local).
     """
-    max_h_keys = max(align, (2**31 - 2) // (stride * stride))
-
     sx = np.maximum(vmax[:, 0] - vmin[:, 0], 0)
     sy = np.maximum(vmax[:, 1] - vmin[:, 1], 0)
     area = (sx * sy).astype(np.int64)
@@ -113,6 +111,13 @@ def plan_adaptive_slabs(vmin, vmax, stride, z_extent, slot_budget, align=2):
     np.add.at(diff, z0, area)
     np.add.at(diff, z1, -area)
     per_row = np.cumsum(diff[:-1])
+    return slabs_from_rows(per_row, stride, z_extent, slot_budget, align)
+
+
+def slabs_from_rows(per_row, stride, z_extent, slot_budget, align=2):
+    """Slab boundaries from a per-z-row slot-count histogram (int or float;
+    the device planner supplies f32 counts, exact enough for budgeting)."""
+    max_h_keys = max(align, (2**31 - 2) // (stride * stride))
 
     slabs = []
     z = 0
