@@ -49,7 +49,12 @@ def run_device_resident(n_target: int, resolution: int, pull: bool = False):
     import jax.numpy as jnp
 
     from obj2voxel_tpu.constants import ANTI_BLEED, TRI_MATERIALLESS
-    from obj2voxel_tpu.engine import _pow2_at_least, build_tri_table, stream_slabs
+    from obj2voxel_tpu.engine import (
+        MAX_PASS_BUDGET,
+        _pow2_at_least,
+        build_tri_table,
+        stream_slabs,
+    )
     from obj2voxel_tpu.ops.color import TexturePool
 
     # host-generate once (cheap), scale into voxel space like the engine's
@@ -86,6 +91,7 @@ def run_device_resident(n_target: int, resolution: int, pull: bool = False):
             z_extent=resolution,
             is_blend=True,
             do_down=False,
+            pair_tile=MAX_PASS_BUDGET,  # O2V_MAX_PASS_BUDGET raises both caps
             device_outputs=not pull,
         ):
             if pull:

@@ -75,7 +75,7 @@ MAX_PASS_BUDGET = int(_os.environ.get("O2V_MAX_PASS_BUDGET", 1 << 21))
 #: compile per expansion factor, so the ladder is deliberately coarse; the
 #: scheduler covers each segment greedily with full rungs so tail waste is
 #: bounded by the smallest rung.
-BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 23)
+BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 22, 1 << 23)
 
 #: Allowed merge-program sizes (rows).  Merges are sort+combine only, so much
 #: larger programs compile than full passes; slabs whose compacted pass
@@ -196,9 +196,14 @@ def _transform_verts(verts, matrix, translation):
 
 
 def _combine_epilogue(
-    raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale, use_kernel=False
+    raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale,
+    use_kernel=False, finalize=True,
 ):
-    """Shared tail of a pass: sort+combine, optional downscale, finalize."""
+    """Shared tail of a pass: sort+combine, optional downscale, finalize.
+
+    finalize=False (multi-pass slabs, where a later merge produces the real
+    output) skips the xyz/argb materialization -- div/mods plus color packing
+    over the full budget that would otherwise be computed and thrown away."""
     keys, vals, count = combine_pairs(
         raw_key, raw_w, raw_rgb, is_blend, use_kernel=use_kernel
     )
@@ -212,6 +217,9 @@ def _combine_epilogue(
         do_downscale, down, lambda a: a, (keys, vals, count)
     )
 
+    if not finalize:
+        return keys, vals, None, None, count
+
     out_stride = jnp.where(do_downscale, stride // 2, stride)
     z_base = jnp.where(do_downscale, z_lo // 2, z_lo)
     x = keys % out_stride
@@ -223,7 +231,10 @@ def _combine_epilogue(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("expand", "budget", "use_pallas", "ref_weights")
+    jax.jit,
+    static_argnames=(
+        "expand", "budget", "use_pallas", "ref_weights", "wide_local", "finalize"
+    ),
 )
 def _bucket_pass(
     tableT,
@@ -242,6 +253,8 @@ def _bucket_pass(
     budget,
     use_pallas,
     ref_weights=False,
+    wide_local=False,
+    finalize=True,
 ):
     """One fused pass over a contiguous run of same-bucket triangle rows.
 
@@ -282,9 +295,13 @@ def _bucket_pass(
     vol = jnp.where(row_live, vol, 0)
 
     def expand_rows(x):
-        """(C, R) -> (C, budget): each row repeated `expand` times."""
-        c = x.shape[0]
-        return jnp.broadcast_to(x[:, :, None], (c, R, expand)).reshape(c, budget)
+        """(C, R) -> (C, budget): each row repeated `expand` times.
+
+        jnp.repeat, NOT broadcast+reshape: the (C, R, K) -> (C, R*K)
+        minor-dim merge lowers to a lane relayout that measured 42.8 ms per
+        2^21 slots on the TPU, while repeat measures 6.9 ms bit-identically
+        (probes/profile_expand.py)."""
+        return jnp.repeat(x, expand, axis=1)
 
     tri_data = expand_rows(rowsT[0:16])  # 9 verts + 6 UVs + pad
     aug = expand_rows(
@@ -294,10 +311,31 @@ def _bucket_pass(
     iota = jnp.arange(budget, dtype=jnp.int32)
     local = local_base + (iota & jnp.int32(expand - 1))
     valid = local < aug[5]
-    vx = aug[0] + local % aug[3]
-    rest = local // aug[3]
-    vy = aug[1] + rest % aug[4]
-    vz = aug[2] + rest // aug[4]
+    if not wide_local:
+        # float-reciprocal rank decode with one correction step: exact for
+        # local < 2^23 (rel. err of lf*(1/s) < 2^-24 * local < 1, so the
+        # floored quotient is off by at most 1 and the residual check fixes
+        # it) and ~1.6x faster than integer div/mod on the VPU
+        # (probes/profile_expand.py).  Normal passes have local < expand
+        # <= 2^23; only giant-triangle passes walk local_base past that.
+        def _divmod(lf, sf):
+            q = jnp.floor(lf * (1.0 / sf))
+            r = lf - q * sf
+            q = jnp.where(r < 0, q - 1.0, jnp.where(r >= sf, q + 1.0, q))
+            return lf - q * sf, q
+
+        sxf = aug[3].astype(jnp.float32)
+        syf = aug[4].astype(jnp.float32)
+        mx, rest = _divmod(local.astype(jnp.float32), sxf)
+        my, mz = _divmod(rest, syf)
+        vx = aug[0] + mx.astype(jnp.int32)
+        vy = aug[1] + my.astype(jnp.int32)
+        vz = aug[2] + mz.astype(jnp.int32)
+    else:
+        vx = aug[0] + local % aug[3]
+        rest = local // aug[3]
+        vy = aug[1] + rest % aug[4]
+        vz = aug[2] + rest // aug[4]
 
     vox_data = jnp.stack(
         [
@@ -343,7 +381,8 @@ def _bucket_pass(
     key = (vz - z_lo) * (stride * stride) + vy * stride + vx
     key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
     return _combine_epilogue(
-        key, w, colors, stride, z_lo, is_blend, do_downscale, use_kernel=use_pallas
+        key, w, colors, stride, z_lo, is_blend, do_downscale,
+        use_kernel=use_pallas, finalize=finalize,
     )
 
 
@@ -576,9 +615,11 @@ def build_tri_table(verts, uvs, types, rgb, tex) -> np.ndarray:
 def _schedule_passes(segments, max_budget):
     """Turn one slab's (bucket) segments into pass descriptors.
 
-    Yields (expand, budget, r0, n_rows, local_base) tuples; expand and budget
-    are static (jit keys, bounded by the BUDGET_LADDER x log2(budget) grid),
-    the rest are traced scalars.
+    Yields (expand, budget, r0, n_rows, local_base, wide_local) tuples;
+    expand, budget, and wide_local are static (jit keys, bounded by the
+    BUDGET_LADDER x log2(budget) grid), the rest are traced scalars.
+    wide_local marks giant-triangle passes whose slot rank can exceed 2^23
+    (they need exact integer rank decode instead of the float fast path).
     """
     passes = []
     for seg in segments:
@@ -588,7 +629,7 @@ def _schedule_passes(segments, max_budget):
                 remaining = seg.r1 - r
                 budget = _chunk_budget(remaining << seg.k, 1 << seg.k, max_budget)
                 rows = min(max(1, budget >> seg.k), remaining)
-                passes.append((1 << seg.k, budget, r, rows, 0))
+                passes.append((1 << seg.k, budget, r, rows, 0, False))
                 r += rows
         else:
             # one huge (axis-aligned, unsubdivided) triangle per pass; walk
@@ -597,7 +638,7 @@ def _schedule_passes(segments, max_budget):
             n_sub = -(-(1 << seg.k) // budget)
             for row in range(seg.r0, seg.r1):
                 for j in range(n_sub):
-                    passes.append((budget, budget, row, 1, j * budget))
+                    passes.append((budget, budget, row, 1, j * budget, True))
     return passes
 
 
@@ -695,84 +736,84 @@ def stream_slabs(
     for seg in segments:
         by_slab.setdefault((seg.z_lo, seg.z_hi), []).append(seg)
 
-    for (z_lo, z_hi), slab_segs in by_slab.items():
+    # Wave pipelining: dispatch EVERY pass of several slabs back-to-back, pull
+    # all their compacted-row counts in ONE transfer, dispatch all the slab
+    # merges, pull all merge counts in ONE more transfer, then yield in slab
+    # order.  The relay link costs ~33 ms per host pull regardless of size, so
+    # per-slab syncs were ~25% of a warm 2M-triangle run.  The wave cap bounds
+    # device memory for tall grids (full-budget rows held until a counts pull
+    # lets them be sliced down).
+    # ~75 B/slot held in flight (keys+vals+xyz+argb); 2^27 rows ~ 2.5 GB
+    CAP_ROWS = 1 << 27
+
+    slab_list = list(by_slab.items())
+    i = 0
+    while i < len(slab_list):
         _t1 = _time.perf_counter()
-        passes = _schedule_passes(slab_segs, max_budget)
-        n_passes = len(passes)
-        multi = n_passes > 1
-        pass_outputs = []
-        in_flight = []
-
-        def flush():
-            """Pull ALL in-flight pass counts in ONE transfer (the relay link
-            costs ~33 ms per pull regardless of size), then park the compacted
-            rows on device for the slab merge."""
-            nonlocal _t1
-            if not in_flight:
-                return
-            counts = np.asarray(jnp.stack([h[4] for h in in_flight]))
-            if timing:
-                _t2 = _time.perf_counter()
-                print(
-                    f"[o2v-timing]   {len(in_flight)} passes "
-                    f"{(_t2 - _t1) * 1000:.0f}ms counts={counts.tolist()}",
-                    flush=True,
+        wave = []
+        wave_rows = 0
+        while i < len(slab_list) and (not wave or wave_rows < CAP_ROWS):
+            (z_lo, z_hi), slab_segs = slab_list[i]
+            i += 1
+            passes = _schedule_passes(slab_segs, max_budget)
+            multi = len(passes) > 1
+            st = {
+                "z_lo": z_lo, "z_hi": z_hi, "n": len(passes),
+                "handles": [], "outputs": [], "final": None,
+            }
+            for expand, budget, r0, n_rows, local_base, wide_local in passes:
+                handle = _bucket_pass(
+                    tableT,
+                    pixels,
+                    meta,
+                    jnp.int32(r0),
+                    jnp.int32(n_rows),
+                    jnp.int32(local_base),
+                    jnp.int32(z_lo),
+                    jnp.int32(z_hi),
+                    jnp.int32(sample_res),
+                    jnp.bool_(is_blend),
+                    # with several passes downscaling must wait for the merge
+                    jnp.bool_(do_down and not multi),
+                    expand=expand,
+                    budget=budget,
+                    use_pallas=use_pallas,
+                    ref_weights=ref_weights,
+                    wide_local=wide_local,
+                    finalize=not multi,
                 )
-                _t1 = _t2
-            for (keys, vals, _, _, _), c in zip(in_flight, counts):
-                c = int(c)
-                if c:
-                    p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
-                    pass_outputs.append((keys[:p2], vals[:p2], c))
-            in_flight.clear()
+                st["handles"].append(handle)
+                wave_rows += budget
+            wave.append(st)
 
-        for expand, budget, r0, n_rows, local_base in passes:
-            handle = _bucket_pass(
-                tableT,
-                pixels,
-                meta,
-                jnp.int32(r0),
-                jnp.int32(n_rows),
-                jnp.int32(local_base),
-                jnp.int32(z_lo),
-                jnp.int32(z_hi),
-                jnp.int32(sample_res),
-                jnp.bool_(is_blend),
-                # with several passes downscaling must wait for the merge
-                jnp.bool_(do_down and not multi),
-                expand=expand,
-                budget=budget,
-                use_pallas=use_pallas,
-                ref_weights=ref_weights,
+        # one batched counts pull for every pass in the wave
+        flat = [(st, h) for st in wave for h in st["handles"]]
+        counts = np.asarray(jnp.stack([h[4] for _, h in flat]))
+        if timing:
+            _t2 = _time.perf_counter()
+            print(
+                f"[o2v-timing]   wave: {len(wave)} slabs {len(flat)} passes "
+                f"{(_t2 - _t1) * 1000:.0f}ms counts={counts.tolist()}",
+                flush=True,
             )
-            in_flight.append(handle)
-            # bound in-flight device memory for giant slabs
-            if multi and len(in_flight) >= 16:
-                flush()
+            _t1 = _t2
+        for (st, (keys, vals, xyz, argb, _)), c in zip(flat, counts):
+            c = int(c)
+            if st["n"] == 1:
+                st["final"] = (xyz, argb, c)
+            elif c:
+                p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
+                st["outputs"].append((keys[:p2], vals[:p2], c))
 
-        if not multi:
-            keys, vals, xyz, argb, count = in_flight[0]
-            c = int(count)
-            if timing:
-                print(
-                    f"[o2v-timing]   single pass {( _time.perf_counter() - _t1) * 1000:.0f}ms "
-                    f"count={c}",
-                    flush=True,
-                )
-            _log.spam(f"Voxelized slab z[{z_lo},{z_hi}) p:1 -> {c}")
-            if c:
-                if device_outputs:
-                    yield xyz, argb, c
-                else:
-                    yield _pull(xyz, c), _pull(argb, c)
-            continue
-
-        flush()
-        if pass_outputs:
-            # hierarchical device-side merging: fold compacted pass outputs in
-            # ladder-sized chunks until one final merge fits (the round-1 host
-            # fallback pulled every pass's rows over the ~15 MB/s relay and
-            # numpy-sorted them -- measured as the dominant cost at 2M tris)
+        # dispatch the device-side slab merges (hierarchical fold for slabs
+        # whose compacted outputs exceed the top merge rung; the round-1 host
+        # fallback pulled every pass's rows over the ~15 MB/s relay)
+        merged = []
+        for st in wave:
+            if st["n"] == 1 or not st["outputs"]:
+                merged.append((st, None))
+                continue
+            pass_outputs = st["outputs"]
             while sum(k.shape[0] for k, _, _ in pass_outputs) > MERGE_LADDER[-1]:
                 folded, chunk, rows = [], [], 0
                 for item in pass_outputs:
@@ -796,24 +837,41 @@ def stream_slabs(
             if pad:
                 ks.append(jnp.full((pad,), INVALID_KEY, jnp.int32))
                 vs.append(jnp.zeros((pad, 4), jnp.float32))
-            xyz, argb, count = _merge_pass(
+            handle = _merge_pass(
                 jnp.concatenate(ks),
                 jnp.concatenate(vs),
-                jnp.int32(z_lo),
+                jnp.int32(st["z_lo"]),
                 jnp.int32(sample_res),
                 jnp.bool_(is_blend),
                 jnp.bool_(do_down),
                 budget=merge_pad,
                 use_kernel=use_pallas,
             )
-            count = int(count)
-            if timing:
-                print(
-                    f"[o2v-timing]   merge {len(pass_outputs)} passes "
-                    f"rows={total_rows} -> count={count}",
-                    flush=True,
-                )
-            _log.spam(f"Voxelized slab z[{z_lo},{z_hi}) p:{n_passes} -> {count}")
+            merged.append((st, handle))
+
+        # one batched pull for all merge counts, then yield in slab order
+        live = [h for _, h in merged if h is not None]
+        mcounts = (
+            iter(np.asarray(jnp.stack([h[2] for h in live])).tolist())
+            if live else iter(())
+        )
+        if timing and live:
+            print(
+                f"[o2v-timing]   {len(live)} merges "
+                f"{(_time.perf_counter() - _t1) * 1000:.0f}ms",
+                flush=True,
+            )
+        for st, handle in merged:
+            if handle is None:
+                if st["final"] is None:
+                    continue  # empty slab
+                xyz, argb, count = st["final"]
+            else:
+                xyz, argb, count = handle[0], handle[1], int(next(mcounts))
+            _log.spam(
+                f"Voxelized slab z[{st['z_lo']},{st['z_hi']}) "
+                f"p:{st['n']} -> {count}"
+            )
             if count:
                 if device_outputs:
                     yield xyz, argb, count

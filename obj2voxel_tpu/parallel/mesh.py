@@ -58,19 +58,20 @@ def _device_windows(z_extent: int, n_devices: int, align: int = 2):
     return [(min(d * h, z_extent), min((d + 1) * h, z_extent)) for d in range(n_devices)], h
 
 
-def _sharded_pass(mesh, expand, budget, use_pallas):
-    key = (id(mesh), expand, budget, use_pallas)
+def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
+    key = (id(mesh), expand, budget, use_pallas, wide_local)
     fn = _PASS_CACHE.get(key)
     if fn is not None:
         return fn
 
     def per_device(tableT, pixels, meta, r0, n_rows, local_base, z_lo, z_hi,
                    stride, is_blend, do_down):
-        keys, vals, xyz, argb, count = _bucket_pass(
+        keys, vals, _xyz, _argb, count = _bucket_pass(
             tableT, pixels, meta,
             r0[0], n_rows[0], local_base[0], z_lo[0], z_hi[0],
             stride, is_blend, do_down,
             expand=expand, budget=budget, use_pallas=use_pallas,
+            wide_local=wide_local, finalize=False,
         )
         return keys[None], vals[None], count[None]
 
@@ -206,10 +207,10 @@ def voxelize_sharded(
             all_order.append(order_d)
             base += order_d.size
             sched: dict = {}
-            for expand, budget, r0, n_rows, local_base in _schedule_passes(
-                segs_d, max_budget
+            for expand, budget, r0, n_rows, local_base, wide_local in (
+                _schedule_passes(segs_d, max_budget)
             ):
-                sched.setdefault((expand, budget), []).append(
+                sched.setdefault((expand, budget, wide_local), []).append(
                     (r0, n_rows, local_base, z0, z1)
                 )
             per_dev.append(sched)
@@ -226,9 +227,9 @@ def voxelize_sharded(
         classes = sorted({c for sched in per_dev for c in sched})
         dev_rows = []  # accumulated per-pass compacted outputs (device handles)
         for cls in classes:
-            expand, budget = cls
+            expand, budget, wide_local = cls
             rounds = max(len(sched.get(cls, ())) for sched in per_dev)
-            fn = _sharded_pass(mesh, expand, budget, use_pallas)
+            fn = _sharded_pass(mesh, expand, budget, use_pallas, wide_local)
             for j in range(rounds):
                 metas = np.zeros((5, n_devices), np.int32)
                 for d, sched in enumerate(per_dev):
