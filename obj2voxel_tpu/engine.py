@@ -80,7 +80,8 @@ BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 22, 1 << 23)
 #: Allowed merge-program sizes (rows).  Merges are sort+combine only, so much
 #: larger programs compile than full passes; slabs whose compacted pass
 #: outputs exceed the top rung fold hierarchically on device.
-MERGE_LADDER = (1 << 12, 1 << 16, 1 << 20, 1 << 23, 1 << 25)
+MERGE_LADDER = (1 << 12, 1 << 16, 1 << 20, 1 << 21, 1 << 22, 1 << 23, 1 << 24,
+                1 << 25)
 
 
 def _chunk_budget(remaining_slots: int, expand: int, max_budget: int) -> int:
@@ -386,19 +387,22 @@ def _bucket_pass(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "use_kernel"))
-def _merge_pass(keys, vals, z_lo, stride, is_blend, do_downscale, *, budget,
+@functools.partial(
+    jax.jit, static_argnames=("stride", "do_downscale", "budget", "use_kernel")
+)
+def _merge_pass(keys, vals, z_lo, is_blend, *, stride, do_downscale, budget,
                 use_kernel=False):
-    """Merge concatenated per-pass compacted outputs and finalize."""
-    def down(args):
-        k, v = args
-        return downscale_keys(k, stride), v
+    """Merge concatenated per-pass compacted outputs and finalize.
 
-    keys, vals = jax.lax.cond(do_downscale, down, lambda a: a, (keys, vals))
+    stride/do_downscale are STATIC (one value per run): constant divisors let
+    XLA strength-reduce the x/y/z key decode to multiply+shift instead of a
+    vector integer division over the whole merge buffer."""
+    if do_downscale:
+        keys = downscale_keys(keys, stride)
     keys, vals, count = merge_combined(keys, vals, is_blend, use_kernel=use_kernel)
 
-    out_stride = jnp.where(do_downscale, stride // 2, stride)
-    z_base = jnp.where(do_downscale, z_lo // 2, z_lo)
+    out_stride = stride // 2 if do_downscale else stride
+    z_base = z_lo // 2 if do_downscale else z_lo
     x = keys % out_stride
     y = (keys // out_stride) % out_stride
     z = keys // (out_stride * out_stride) + z_base
@@ -743,8 +747,9 @@ def stream_slabs(
     # per-slab syncs were ~25% of a warm 2M-triangle run.  The wave cap bounds
     # device memory for tall grids (full-budget rows held until a counts pull
     # lets them be sliced down).
-    # ~75 B/slot held in flight (keys+vals+xyz+argb); 2^27 rows ~ 2.5 GB
-    CAP_ROWS = 1 << 27
+    # ~20 B/slot held in flight (compacted keys+vals); 2^27 rows ~ 2.7 GB
+    # with the merge buffers on top.  Tune down for huge meshes via env.
+    CAP_ROWS = int(_os.environ.get("O2V_WAVE_CAP", 1 << 27))
 
     slab_list = list(by_slab.items())
     i = 0
@@ -841,9 +846,9 @@ def stream_slabs(
                 jnp.concatenate(ks),
                 jnp.concatenate(vs),
                 jnp.int32(st["z_lo"]),
-                jnp.int32(sample_res),
                 jnp.bool_(is_blend),
-                jnp.bool_(do_down),
+                stride=sample_res,
+                do_downscale=do_down,
                 budget=merge_pad,
                 use_kernel=use_pallas,
             )

@@ -88,15 +88,16 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
     return fn
 
 
-def _sharded_merge(mesh, rows, use_pallas):
-    key = (id(mesh), rows, use_pallas)
+def _sharded_merge(mesh, rows, use_pallas, stride, do_down):
+    key = (id(mesh), rows, use_pallas, stride, do_down)
     fn = _MERGE_CACHE.get(key)
     if fn is not None:
         return fn
 
-    def per_device(keys, vals, z_lo, stride, is_blend, do_down):
+    def per_device(keys, vals, z_lo, is_blend):
         xyz, argb, count = _merge_pass(
-            keys[0], vals[0], z_lo[0], stride, is_blend, do_down,
+            keys[0], vals[0], z_lo[0], is_blend,
+            stride=stride, do_downscale=do_down,
             budget=rows, use_kernel=use_pallas,
         )
         return xyz[None], argb[None], count[None]
@@ -105,7 +106,7 @@ def _sharded_merge(mesh, rows, use_pallas):
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P("z"), P("z"), P("z"), P(), P(), P()),
+            in_specs=(P("z"), P("z"), P("z"), P()),
             out_specs=(P("z"), P("z"), P("z")),
         )
     )
@@ -262,14 +263,12 @@ def voxelize_sharded(
         z_los = jnp.asarray(
             [min(w0 + s * sub_h, w1) for w0, w1 in windows], jnp.int32
         )
-        merge = _sharded_merge(mesh, rows, use_pallas)
+        merge = _sharded_merge(mesh, rows, use_pallas, sample_res, do_down)
         xyz, argb, counts = merge(
             jnp.concatenate(ks, axis=1),
             jnp.concatenate(vs, axis=1),
             z_los,
-            jnp.int32(sample_res),
             jnp.bool_(is_blend),
-            jnp.bool_(do_down),
         )
         counts = np.asarray(counts)
         xyz = np.asarray(xyz)
