@@ -31,8 +31,9 @@ from .clip import _area_uv, _clip_polygons
 
 #: pairs per grid step, laid out (SUB, 128) so every vector op fills all 8
 #: VPU sublanes.  Round-1 used (1, 4096)-shaped channels -- one sublane per
-#: op, i.e. 1/8 of the VPU -- and measured 8.6 ns/pair.
-SUB = 32
+#: op, i.e. 1/8 of the VPU -- and measured 8.6 ns/pair.  SUB sweep on the
+#: chip: 16 -> 45 ms, 32 -> 6.5 ms, 64 -> 4.9 ms, 128 -> 5.2 ms per 2^21.
+SUB = 64
 BLOCK = SUB * 128
 
 
