@@ -55,11 +55,14 @@ from .ops.clip_pallas import clip_pairs_pallas
 from .ops.color import TexturePool, sample_pair_colors_uv
 from .ops.combine import (
     INVALID_KEY,
+    combine_channels,
     combine_pairs,
+    compact_channels,
     downscale_keys,
     finalize_colors,
     merge_combined,
     pack_argb,
+    premultiply,
 )
 from .ops.plan import plan_mesh
 from .ops.plan_device import plan_mesh_device
@@ -197,29 +200,28 @@ def _transform_verts(verts, matrix, translation):
 
 
 def _combine_epilogue(
-    raw_key, raw_w, raw_rgb, stride, z_lo, is_blend, do_downscale,
+    combined, stride, z_lo, is_blend, do_downscale,
     use_kernel=False, finalize=True,
 ):
-    """Shared tail of a pass: sort+combine, optional downscale, finalize.
+    """Shared tail of a pass: optional downscale, finalize.
 
+    combined: (keys, chans, count) from combine_pairs/combine_channels.
     finalize=False (multi-pass slabs, where a later merge produces the real
     output) skips the xyz/argb materialization -- div/mods plus color packing
     over the full budget that would otherwise be computed and thrown away."""
-    keys, vals, count = combine_pairs(
-        raw_key, raw_w, raw_rgb, is_blend, use_kernel=use_kernel
-    )
+    keys, chans, count = combined
 
     def down(args):
-        k, v, _ = args
+        k, ch, _ = args
         dk = downscale_keys(k, stride)
-        return merge_combined(dk, v, is_blend, use_kernel=use_kernel)
+        return merge_combined(dk, ch, is_blend, use_kernel=use_kernel)
 
-    keys, vals, count = jax.lax.cond(
-        do_downscale, down, lambda a: a, (keys, vals, count)
+    keys, chans, count = jax.lax.cond(
+        do_downscale, down, lambda a: a, (keys, chans, count)
     )
 
     if not finalize:
-        return keys, vals, None, None, count
+        return keys, chans, None, None, count
 
     out_stride = jnp.where(do_downscale, stride // 2, stride)
     z_base = jnp.where(do_downscale, z_lo // 2, z_lo)
@@ -227,14 +229,15 @@ def _combine_epilogue(
     y = (keys // out_stride) % out_stride
     z = keys // (out_stride * out_stride) + z_base
     xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
-    argb = pack_argb(finalize_colors(vals))
-    return keys, vals, xyz, argb, count
+    argb = pack_argb(finalize_colors(chans))
+    return keys, chans, xyz, argb, count
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "expand", "budget", "use_pallas", "ref_weights", "wide_local", "finalize"
+        "expand", "budget", "use_pallas", "ref_weights", "wide_local",
+        "finalize", "fused",
     ),
 )
 def _bucket_pass(
@@ -256,6 +259,7 @@ def _bucket_pass(
     ref_weights=False,
     wide_local=False,
     finalize=True,
+    fused=None,
 ):
     """One fused pass over a contiguous run of same-bucket triangle rows.
 
@@ -273,7 +277,19 @@ def _bucket_pass(
 
     Rows at positions >= n_rows (the dynamic-slice overread into neighboring
     segments) are neutralized by forcing their volume to zero.
+
+    fused=None auto-selects the fully fused Pallas pass (ops/pass_fused.py:
+    expansion + clip + key + premultiply in one kernel) on the device for
+    texture-free, non-giant passes; the XLA pipeline below remains the
+    oracle (and the only path for textured meshes / wide_local passes).
     """
+    if fused is None:
+        fused = (
+            use_pallas
+            and not wide_local
+            and pixels.shape[0] == 1
+            and _os.environ.get("O2V_FUSED") != "0"
+        )
     R = budget // expand
     rowsT = jax.lax.dynamic_slice(tableT, (0, r0), (24, R))
 
@@ -294,6 +310,34 @@ def _bucket_pass(
     vol = size_a[0] * size_a[1] * size_a[2]
     row_live = jnp.arange(R, dtype=jnp.int32) < n_rows
     vol = jnp.where(row_live, vol, 0)
+
+    if fused:
+        from .ops.pass_fused import fused_pass_pallas
+
+        aug8 = jnp.stack(
+            [tmin_a[0], tmin_a[1], tmin_a[2], sx, sy, vol,
+             jnp.zeros_like(vol), jnp.zeros_like(vol)],
+            axis=0,
+        ).astype(jnp.float32)
+        data32 = jnp.concatenate([rowsT, aug8], axis=0)
+        key, w, wr, wg, wb = fused_pass_pallas(
+            data32, local_base, z_lo, stride,
+            expand=expand, budget=budget,
+            textured=False, ref_weights=ref_weights,
+            interpret=not use_pallas,
+        )
+        if finalize or _os.environ.get("O2V_PASS_COMBINE") == "1":
+            combined = combine_channels(
+                key, (w, wr, wg, wb), is_blend, use_kernel=use_pallas
+            )
+        else:
+            # multi-pass slab: the slab merge deduplicates, so sort+compact
+            # only (one stable sort instead of sort+combine+compaction sort)
+            combined = compact_channels(key, (w, wr, wg, wb))
+        return _combine_epilogue(
+            combined, stride, z_lo, is_blend, do_downscale,
+            use_kernel=use_pallas, finalize=finalize,
+        )
 
     def expand_rows(x):
         """(C, R) -> (C, budget): each row repeated `expand` times.
@@ -381,8 +425,14 @@ def _bucket_pass(
 
     key = (vz - z_lo) * (stride * stride) + vy * stride + vx
     key = jnp.where(w > 0, key.astype(jnp.int32), INVALID_KEY)
+    if finalize or _os.environ.get("O2V_PASS_COMBINE") == "1":
+        combined = combine_pairs(key, w, colors, is_blend, use_kernel=use_pallas)
+    else:
+        # multi-pass slab: sort+compact only; the merge deduplicates (see
+        # ops/combine.compact_channels)
+        combined = compact_channels(key, premultiply(w, colors))
     return _combine_epilogue(
-        key, w, colors, stride, z_lo, is_blend, do_downscale,
+        combined, stride, z_lo, is_blend, do_downscale,
         use_kernel=use_pallas, finalize=finalize,
     )
 
@@ -390,16 +440,19 @@ def _bucket_pass(
 @functools.partial(
     jax.jit, static_argnames=("stride", "do_downscale", "budget", "use_kernel")
 )
-def _merge_pass(keys, vals, z_lo, is_blend, *, stride, do_downscale, budget,
+def _merge_pass(keys, chans, z_lo, is_blend, *, stride, do_downscale, budget,
                 use_kernel=False):
     """Merge concatenated per-pass compacted outputs and finalize.
 
+    chans: 4-tuple of (P,) premultiplied channels (channel-major: (P, 4)
+    value blocks made the merge concat alone cost 87 ms per 2^22 rows,
+    probes/profile_merge.py).
     stride/do_downscale are STATIC (one value per run): constant divisors let
     XLA strength-reduce the x/y/z key decode to multiply+shift instead of a
     vector integer division over the whole merge buffer."""
     if do_downscale:
         keys = downscale_keys(keys, stride)
-    keys, vals, count = merge_combined(keys, vals, is_blend, use_kernel=use_kernel)
+    keys, chans, count = merge_combined(keys, chans, is_blend, use_kernel=use_kernel)
 
     out_stride = stride // 2 if do_downscale else stride
     z_base = z_lo // 2 if do_downscale else z_lo
@@ -407,7 +460,7 @@ def _merge_pass(keys, vals, z_lo, is_blend, *, stride, do_downscale, budget,
     y = (keys // out_stride) % out_stride
     z = keys // (out_stride * out_stride) + z_base
     xyz = jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
-    argb = pack_argb(finalize_colors(vals))
+    argb = pack_argb(finalize_colors(chans))
     return xyz, argb, count
 
 
@@ -415,32 +468,79 @@ def _merge_pass(keys, vals, z_lo, is_blend, *, stride, do_downscale, budget,
 
 
 @functools.partial(jax.jit, static_argnames=("budget", "use_kernel"))
-def _merge_keys(keys, vals, is_blend, *, budget, use_kernel=False):
+def _merge_keys(keys, chans, is_blend, *, budget, use_kernel=False):
     """Device-side fold of concatenated compacted outputs -> compacted
-    (keys, vals, count), still in slab-local key space."""
+    (keys, chans, count), still in slab-local key space."""
     del budget  # shape key only
-    return merge_combined(keys, vals, is_blend, use_kernel=use_kernel)
+    return merge_combined(keys, chans, is_blend, use_kernel=use_kernel)
+
+
+_ASM_CACHE: dict = {}
+
+
+def _make_assembler(budgets, pad_to):
+    """One-dispatch dense concat of compacted pass outputs.
+
+    Replaces per-chunk host slicing (`keys[:p2]` — 5 device ops per pass,
+    measured ~2.5 ms dispatch each through the relay, ~430 ms per 34-pass
+    wave) plus jnp.concatenate with a single jitted program: each chunk's
+    FULL sorted buffer is written at its cumulative-live-count offset with
+    dynamic_update_slice, in chunk order, so chunk i+1's write overwrites
+    chunk i's INVALID/zero tail and the result is the exact dense
+    concatenation of the live prefixes.  The buffer carries max(budgets)
+    slack so the last full-size write never clamps; offsets are traced, so
+    one compiled program serves every wave with the same chunk shapes."""
+    key = (tuple(budgets), pad_to)
+    fn = _ASM_CACHE.get(key)
+    if fn is not None:
+        return fn
+    size = pad_to + max(budgets)
+
+    @jax.jit
+    def asm(offsets, ks, chs):
+        buf_k = jnp.full((size,), INVALID_KEY, jnp.int32)
+        buf_c = [jnp.zeros((size,), jnp.float32) for _ in range(4)]
+        for i, k in enumerate(ks):
+            off = offsets[i]
+            buf_k = jax.lax.dynamic_update_slice(buf_k, k, (off,))
+            for j in range(4):
+                buf_c[j] = jax.lax.dynamic_update_slice(buf_c[j], chs[i][j], (off,))
+        return buf_k[:pad_to], tuple(c[:pad_to] for c in buf_c)
+
+    _ASM_CACHE[key] = fn = asm
+    return fn
+
+
+def _assemble_outputs(chunk, pad_to):
+    """chunk: list of (keys (B_i,), chans 4-tuple, live_count) with each
+    buffer compacted (live prefix, INVALID/zero tail).  Returns the dense
+    (pad_to,) concat of the live prefixes, INVALID/zero padded."""
+    budgets = [k.shape[0] for k, _, _ in chunk]
+    offs = np.zeros(len(chunk), np.int64)
+    np.cumsum([c for _, _, c in chunk[:-1]], out=offs[1:])
+    asm = _make_assembler(budgets, pad_to)
+    return asm(
+        jnp.asarray(offs, jnp.int32),
+        [k for k, _, _ in chunk],
+        [ch for _, ch, _ in chunk],
+    )
 
 
 def _fold_outputs(chunk, is_blend, use_pallas):
-    """Merge a chunk of compacted (keys, vals, count) outputs into one."""
-    rows = sum(k.shape[0] for k, _, _ in chunk)
-    pad_to = next((b for b in MERGE_LADDER if b >= rows), MERGE_LADDER[-1])
-    ks = [k for k, _, _ in chunk]
-    vs = [v for _, v, _ in chunk]
-    if pad_to > rows:
-        ks.append(jnp.full((pad_to - rows,), INVALID_KEY, jnp.int32))
-        vs.append(jnp.zeros((pad_to - rows, 4), jnp.float32))
-    keys, vals, count = _merge_keys(
-        jnp.concatenate(ks),
-        jnp.concatenate(vs),
+    """Merge a chunk of compacted (keys, chans, count) outputs into one
+    full-buffer compacted output (kept unsliced; the live count rides
+    along)."""
+    rows = sum(c for _, _, c in chunk)
+    pad_to = next((b for b in MERGE_LADDER if b >= rows), _pow2_at_least(rows))
+    cat_keys, cat_chans = _assemble_outputs(chunk, pad_to)
+    keys, chans, count = _merge_keys(
+        cat_keys,
+        cat_chans,
         jnp.bool_(is_blend),
         budget=pad_to,
         use_kernel=use_pallas,
     )
-    c = int(count)
-    p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
-    return keys[:p2], vals[:p2], c
+    return keys, chans, int(count)
 
 
 def slab_plan(stride: int, z_extent: int | None = None):
@@ -534,7 +634,7 @@ def voxelize_soup(
     if debug_stl.enabled():
         debug_stl.record(verts_host)
 
-    yield from voxelize_grid(
+    gen = voxelize_grid(
         verts_host,
         uvs_host,
         types_host,
@@ -549,6 +649,11 @@ def voxelize_soup(
         pair_tile=pair_tile,
         max_pass_budget=max_pass_budget,
     )
+    # the inner generator owns the host arrays now (and frees them after the
+    # device upload); dropping this frame's references keeps peak RSS bounded
+    # by the device table, not three host copies of it
+    del verts_host, uvs_host, types_host, rgb_host, tex_host
+    yield from gen
 
 
 def voxelize_grid(
@@ -577,17 +682,25 @@ def voxelize_grid(
     sample_res = stride
 
     # Host-side AABBs feed the per-slab bucket planner (x/y grid-clamped,
-    # z left unclamped -- the planner clamps per slab).
+    # z left unclamped -- the planner clamps per slab).  int32: coordinates
+    # are grid-bounded, and at 10M+ triangles the int64 versions alone were
+    # ~0.6 GB of the config-4 RSS.
     clamp_hi = np.array([stride, stride, z_extent], np.float32)
-    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi).astype(np.int64)
-    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int64)
+    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi).astype(np.int32)
+    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int32)
 
     n_pad = _pow2_at_least(n_sub)
     verts, uvs, types, rgb, tex = _pad_tris(
         [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
     )
+    table_dev = jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex))
+    # the generator frame stays alive for the whole stream: drop the host
+    # copies (padded ~1.6 GB + unpadded ~1.2 GB at 10M subdivided triangles)
+    # now that the table lives on device
+    del verts, uvs, types, rgb, tex
+    del verts_host, uvs_host, types_host, rgb_host, tex_host
     yield from stream_slabs(
-        jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex)),
+        table_dev,
         pixels,
         meta,
         aabb_host=(vmin_h, vmax_h),
@@ -697,18 +810,17 @@ def stream_slabs(
     _t0 = _time.perf_counter()
     # device-side plan (sort + order stay on device; two tiny pulls) with a
     # host fallback for many-slab grids (batch mode) or if disabled
-    planned = None
+    order_dev, segments = None, None
     if _os.environ.get("O2V_HOST_PLAN") != "1":
-        planned = plan_mesh_device(
+        order_dev, segments = plan_mesh_device(
             tri_table, vmin_h.shape[0], stride, z_extent,
             slot_budget=4 * max_budget,
         )
-    if planned is not None:
-        order_dev, segments = planned
-        if order_dev is None:
-            return
+    if order_dev is not None:
         m = segments[-1].r1
         order_arg = order_dev
+    elif segments is not None:
+        return  # empty mesh
     else:
         order, segments = plan_mesh(
             vmin_h, vmax_h, stride, z_extent, slot_budget=4 * max_budget
@@ -802,13 +914,15 @@ def stream_slabs(
                 flush=True,
             )
             _t1 = _t2
-        for (st, (keys, vals, xyz, argb, _)), c in zip(flat, counts):
+        for (st, (keys, chans, xyz, argb, _)), c in zip(flat, counts):
             c = int(c)
             if st["n"] == 1:
                 st["final"] = (xyz, argb, c)
             elif c:
-                p2 = min(_pow2_at_least(c, 1 << 10), keys.shape[0])
-                st["outputs"].append((keys[:p2], vals[:p2], c))
+                # keep the FULL compacted buffer; the merge assembler packs
+                # live prefixes in one dispatch (host slicing here measured
+                # ~2.5 ms/op through the relay, ~430 ms per 34-pass wave)
+                st["outputs"].append((keys, chans, c))
 
         # dispatch the device-side slab merges (hierarchical fold for slabs
         # whose compacted outputs exceed the top merge rung; the round-1 host
@@ -819,32 +933,33 @@ def stream_slabs(
                 merged.append((st, None))
                 continue
             pass_outputs = st["outputs"]
-            while sum(k.shape[0] for k, _, _ in pass_outputs) > MERGE_LADDER[-1]:
+            while sum(c for _, _, c in pass_outputs) > MERGE_LADDER[-1]:
+                before = sum(c for _, _, c in pass_outputs)
                 folded, chunk, rows = [], [], 0
                 for item in pass_outputs:
-                    if rows and rows + item[0].shape[0] > MERGE_LADDER[-1]:
+                    if rows and rows + item[2] > MERGE_LADDER[-1]:
                         folded.append(_fold_outputs(chunk, is_blend, use_pallas))
                         chunk, rows = [], 0
                     chunk.append(item)
-                    rows += item[0].shape[0]
+                    rows += item[2]
                 if len(chunk) == len(pass_outputs):
                     break  # nothing left to fold (single oversized chunk)
                 if chunk:
                     folded.append(_fold_outputs(chunk, is_blend, use_pallas))
                 pass_outputs = folded
+                if sum(c for _, _, c in pass_outputs) >= before:
+                    # > 2^25 distinct live voxels in one slab: folding cannot
+                    # shrink further; fall through to one oversized merge
+                    # instead of re-dispatching identical folds forever
+                    break
 
-            total_rows = sum(k.shape[0] for k, _, _ in pass_outputs)
+            total_rows = sum(c for _, _, c in pass_outputs)
             merge_pad = next((b for b in MERGE_LADDER if b >= total_rows),
-                             MERGE_LADDER[-1])
-            pad = merge_pad - total_rows
-            ks = [k for k, _, _ in pass_outputs]
-            vs = [v for _, v, _ in pass_outputs]
-            if pad:
-                ks.append(jnp.full((pad,), INVALID_KEY, jnp.int32))
-                vs.append(jnp.zeros((pad, 4), jnp.float32))
+                             _pow2_at_least(total_rows))
+            cat_keys, cat_chans = _assemble_outputs(pass_outputs, merge_pad)
             handle = _merge_pass(
-                jnp.concatenate(ks),
-                jnp.concatenate(vs),
+                cat_keys,
+                cat_chans,
                 jnp.int32(st["z_lo"]),
                 jnp.bool_(is_blend),
                 stride=sample_res,

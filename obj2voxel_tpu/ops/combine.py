@@ -6,8 +6,16 @@ src/voxelization.cpp:56-69, 513-536) with the TPU-idiomatic equivalent: a
 stable sort of the (voxel_key, weight, color) pair stream followed by a
 segmented associative scan and a compaction of segment tails.
 
-Value layout is ALWAYS premultiplied: vals = (w, w*r, w*g, w*b).  Both color
-strategies then share one executable with the strategy as a *traced* scalar:
+Value layout is ALWAYS premultiplied and CHANNEL-MAJOR: a `chans` tuple of
+four (P,) f32 arrays (w, w*r, w*g, w*b).  Round 2 carried values as (P, 4)
+arrays; on TPU that puts the 4-wide channel axis in the LANE dimension (4/128
+occupancy), and concatenating such arrays for a merge measured 87 ms per 2^22
+rows vs 1.7 ms channel-major (probes/profile_merge.py) -- the entire round-2
+merge overhead.  Channels also feed the 5-operand sort directly with no
+stack/unstack relayouts.
+
+Both color strategies share one executable with the strategy as a *traced*
+scalar:
 
   * BLEND -- running weighted mean (reference util.hpp:159-165) == elementwise
              sum of premultiplied values, divided once at the end.
@@ -29,57 +37,55 @@ from ..constants import BLEND_STRATEGY
 INVALID_KEY = jnp.int32(2**31 - 1)
 
 
-def sort_pairs(keys, values):
-    """Stable sort `values` (tuple of (P,) or (P,C) arrays) by int32 `keys`."""
-    P = keys.shape[0]
-    iota = jnp.arange(P, dtype=jnp.int32)
-    sorted_keys, perm = jax.lax.sort((keys, iota), num_keys=1, is_stable=True)
-    return sorted_keys, tuple(v[perm] for v in values)
+def premultiply(weight, rgb):
+    """(w (P,), rgb (P, 3)) -> channel tuple (w, w*r, w*g, w*b)."""
+    return (weight, weight * rgb[:, 0], weight * rgb[:, 1], weight * rgb[:, 2])
 
 
-def sort_vals4(keys, vals, is_stable=True):
-    """Sort a (P, 4) value block by int32 keys with a multi-operand sort.
+def sort_channels(keys, chans, is_stable=True):
+    """Multi-operand stable sort of the 4 value channels by int32 keys.
 
     Measured on the TPU (probes/probe_r2.out): the 5-operand `lax.sort` runs
-    3.6x faster than sort-(key, iota)-then-gather at 2^21 pairs (3.1 ms vs
-    11.3 ms) -- gathers, even permutation gathers, are the slow primitive.
+    3.6x faster than sort-(key, iota)-then-gather at 2^21 pairs -- gathers,
+    even permutation gathers, are the slow primitive.
     """
-    sk, v0, v1, v2, v3 = jax.lax.sort(
-        (keys, vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]),
-        num_keys=1,
-        is_stable=is_stable,
+    sk, w, r, g, b = jax.lax.sort(
+        (keys,) + tuple(chans), num_keys=1, is_stable=is_stable
     )
-    return sk, jnp.stack([v0, v1, v2, v3], axis=-1)
+    return sk, (w, r, g, b)
 
 
-def _segment_combine(head, vals, is_blend):
-    """Segmented left-to-right scan over sorted runs.
+def _segment_combine(head, chans, is_blend):
+    """Segmented left-to-right scan over sorted runs (jnp oracle).
 
     head: (P,) bool -- True at the first element of each key run.
-    vals: (P, 4) float32 premultiplied (w, w*r, w*g, w*b).
+    chans: 4-tuple of (P,) float32 premultiplied channels.
     is_blend: traced bool scalar.
-    Returns (P, 4) where the *last* element of each run holds the combined value.
+    Returns channels where the *last* element of each run holds the combined
+    value.
     """
 
-    def inner(a, b):
-        summed = a + b
-        maxed = jnp.where(b[:, :1] > a[:, :1], b, a)
-        return jnp.where(is_blend, summed, maxed)
-
     def op(ca, cb):
-        fa, va = ca
-        fb, vb = cb
-        return fa | fb, jnp.where(fb[:, None], vb, inner(va, vb))
+        fa, wa = ca[0], ca[1]
+        fb, wb = cb[0], cb[1]
+        summed = tuple(a + b for a, b in zip(ca[1:], cb[1:]))
+        maxed = tuple(
+            jnp.where(wb > wa, b, a) for a, b in zip(ca[1:], cb[1:])
+        )
+        merged = tuple(
+            jnp.where(is_blend, s, m) for s, m in zip(summed, maxed)
+        )
+        out = tuple(jnp.where(fb, b, m) for b, m in zip(cb[1:], merged))
+        return (fa | fb,) + out
 
-    flags, out = jax.lax.associative_scan(op, (head, vals))
-    del flags
-    return out
+    out = jax.lax.associative_scan(op, (head,) + tuple(chans))
+    return out[1:]
 
 
-def combine_sorted(sorted_keys, vals, is_blend):
-    """Combine a key-sorted premultiplied pair stream into unique rows.
+def combine_sorted(sorted_keys, chans, is_blend):
+    """Combine a key-sorted premultiplied stream into unique rows (jnp oracle).
 
-    Returns (keys (P,), vals (P,4), count): the first `count` rows are the
+    Returns (keys (P,), chans 4-tuple, count): the first `count` rows are the
     unique combined voxels (key-sorted); the rest is INVALID_KEY padding.
 
     Compaction runs as one more (non-stable) sort: non-tail rows get their key
@@ -89,40 +95,60 @@ def combine_sorted(sorted_keys, vals, is_blend):
     """
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sorted_keys[:-1]])
     head = sorted_keys != prev
-    combined = _segment_combine(head, vals, is_blend)
+    combined = _segment_combine(head, chans, is_blend)
 
     nxt = jnp.concatenate([sorted_keys[1:], jnp.full((1,), INVALID_KEY, jnp.int32)])
     tail = (sorted_keys != nxt) & (sorted_keys != INVALID_KEY)
 
     count = jnp.sum(tail.astype(jnp.int32))
     tail_keys = jnp.where(tail, sorted_keys, INVALID_KEY)
+    masked = tuple(jnp.where(tail, c, 0.0) for c in combined)
     # keys are unique among the live rows, so stability is irrelevant
-    out_keys, out_vals = sort_vals4(tail_keys, combined, is_stable=False)
-    out_vals = jnp.where((out_keys != INVALID_KEY)[:, None], out_vals, 0.0)
-    return out_keys, out_vals, count
+    out_keys, out_chans = sort_channels(tail_keys, masked, is_stable=False)
+    return out_keys, out_chans, count
 
 
-def premultiply(weight, rgb):
-    """(w, rgb) -> (P, 4) premultiplied values."""
-    return jnp.concatenate([weight[:, None], weight[:, None] * rgb], axis=-1)
+def compact_channels(keys, chans):
+    """Stable-sort by key and count live rows WITHOUT combining duplicates.
+
+    The fast tail for multi-pass slabs (engine._bucket_pass finalize=False):
+    the slab merge re-sorts and deduplicates anyway, so the per-pass
+    segmented combine + second compaction sort (~15 ms per 2^21-slot pass on
+    the chip) are redundant work.  One stable sort both compacts INVALID_KEY
+    rows to the tail and keeps duplicate keys in slot order, so the merge's
+    stable concat-order sort sees pairs in exactly the global stream order —
+    MAX tie-breaking ("earliest stream element wins", reference
+    util.hpp:167-172) is preserved bit-for-bit.  BLEND partial sums are
+    grouped differently than with per-pass combining (all pairs summed at the
+    merge instead of pass-partials-then-merge); the result differs only in
+    float association, which the fidelity contract already scopes out
+    (PARITY.md "Fidelity scope").
+
+    count = live PAIRS (not unique voxels) — callers only use it to bound the
+    slice fed to the merge.
+    """
+    sorted_keys, schans = sort_channels(keys, chans)
+    count = jnp.sum((sorted_keys != INVALID_KEY).astype(jnp.int32))
+    return sorted_keys, schans, count
 
 
-def _combine_sorted_kernel(sorted_keys, svals, is_blend):
+def _combine_sorted_kernel(sorted_keys, chans, is_blend):
     """Run-tail combine via the streaming Pallas kernel + compaction sort."""
     from .combine_pallas import segment_combine_pallas
 
     tk, tw, tr, tg, tb = segment_combine_pallas(
-        sorted_keys, svals[:, 0], svals[:, 1], svals[:, 2], svals[:, 3], is_blend
+        sorted_keys, chans[0], chans[1], chans[2], chans[3], is_blend
     )
     count = jnp.sum((tk != INVALID_KEY).astype(jnp.int32))
     ok, v0, v1, v2, v3 = jax.lax.sort(
         (tk, tw, tr, tg, tb), num_keys=1, is_stable=False
     )
-    return ok, jnp.stack([v0, v1, v2, v3], axis=-1), count
+    return ok, (v0, v1, v2, v3), count
 
 
 def combine_pairs(keys, weight, rgb, is_blend, use_kernel=False):
-    """Full combine of one pair stream: mask, sort, reduce, compact.
+    """Full combine of one pair stream: mask, premultiply, sort, reduce,
+    compact.
 
     keys:   (P,) int32 linear voxel keys (INVALID_KEY allowed)
     weight: (P,) float32 clip weights; w <= 0 entries are dropped
@@ -134,19 +160,22 @@ def combine_pairs(keys, weight, rgb, is_blend, use_kernel=False):
     """
     live = weight > 0.0
     keys = jnp.where(live, keys, INVALID_KEY)
-    vals = premultiply(weight, rgb)
-    sorted_keys, svals = sort_vals4(keys, vals)
-    if use_kernel and sorted_keys.shape[0] % 2048 == 0:
-        return _combine_sorted_kernel(sorted_keys, svals, is_blend)
-    return combine_sorted(sorted_keys, svals, is_blend)
+    return combine_channels(keys, premultiply(weight, rgb), is_blend, use_kernel)
 
 
-def merge_combined(keys, vals, is_blend, use_kernel=False):
-    """Merge concatenated compacted (keys, vals) lists: one more sort+combine."""
-    sorted_keys, svals = sort_vals4(keys, vals)
+def combine_channels(keys, chans, is_blend, use_kernel=False):
+    """Sort + reduce + compact a premultiplied channel stream (keys already
+    INVALID_KEY-masked for dead entries, e.g. by the fused pass kernel)."""
+    sorted_keys, schans = sort_channels(keys, chans)
     if use_kernel and sorted_keys.shape[0] % 2048 == 0:
-        return _combine_sorted_kernel(sorted_keys, svals, is_blend)
-    return combine_sorted(sorted_keys, svals, is_blend)
+        return _combine_sorted_kernel(sorted_keys, schans, is_blend)
+    return combine_sorted(sorted_keys, schans, is_blend)
+
+
+def merge_combined(keys, chans, is_blend, use_kernel=False):
+    """Merge concatenated compacted (keys, chans) lists: one more
+    sort+combine."""
+    return combine_channels(keys, chans, is_blend, use_kernel)
 
 
 def downscale_keys(keys, stride):
@@ -165,23 +194,28 @@ def downscale_keys(keys, stride):
     return jnp.where(keys == INVALID_KEY, INVALID_KEY, down).astype(jnp.int32)
 
 
-def finalize_colors(vals):
-    """Premultiplied (P, 4) -> float rgb in [0, 1].
-
-    The quotient gets one residual (Newton) correction: TPU lowers f32
-    divide to reciprocal + Newton, which can sit 1 ulp below the correctly
-    rounded quotient and flip round-half boundaries in pack_argb (e.g.
-    Kd 0.1 -> byte 25 on device vs 26 on the CPU oracle / the reference's
-    exact IEEE divide).
-    """
-    w = vals[:, 0]
-    safe = jnp.where(w > 0, w, 1.0)[:, None]
-    num = vals[:, 1:4]
-    q = num / safe
-    return q + (num - q * safe) / safe
+def _exact_div(num, den):
+    """num / den with one residual (Newton) correction: TPU lowers f32 divide
+    to reciprocal + Newton, which can sit 1 ulp below the correctly rounded
+    quotient and flip round-half boundaries in pack_argb (e.g. Kd 0.1 ->
+    byte 25 on device vs 26 on the CPU oracle / the reference's exact IEEE
+    divide)."""
+    q = num / den
+    return q + (num - q * den) / den
 
 
-def pack_argb(rgb):
-    """float rgb [0,1] -> uint32 ARGB with a=255 (reference Color32 semantics)."""
-    q = jnp.clip(jnp.round(rgb * 255.0), 0, 255).astype(jnp.uint32)
-    return jnp.uint32(0xFF000000) | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+def finalize_colors(chans):
+    """Premultiplied channels -> (r, g, b) float tuples in [0, 1]."""
+    w = chans[0]
+    safe = jnp.where(w > 0, w, 1.0)
+    return tuple(_exact_div(c, safe) for c in chans[1:4])
+
+
+def pack_argb(rgb_chans):
+    """(r, g, b) float channel tuple [0,1] -> (P,) uint32 ARGB with a=255
+    (reference Color32 semantics)."""
+    q = [
+        jnp.clip(jnp.round(c * 255.0), 0, 255).astype(jnp.uint32)
+        for c in rgb_chans
+    ]
+    return jnp.uint32(0xFF000000) | (q[0] << 16) | (q[1] << 8) | q[2]

@@ -13,84 +13,13 @@ pow2 rounding wastes at most 2x pair slots, which the clip discards for free
 SUBDIVISION_VOLUME_LIMIT plays as a work regularizer (voxelization.cpp:349-379)
 re-expressed as static shape algebra.
 
-Tiles are described by three per-tile scalars (shift k, triangle index base,
-local pair-slot base) so one compiled kernel serves every bucket mix; tiles
-never span buckets (the host pads each bucket's slot domain to whole tiles).
+Round 2 moved bucketing into the global planner (ops/plan.py); this module
+keeps the slab-boundary estimators shared by the host and device planners.
 """
 
 from __future__ import annotations
 
 import numpy as np
-
-
-def plan_slab(vmin, vmax, z_lo, z_hi, tile):
-    """Host planner for one z-slab.
-
-    vmin/vmax: (N, 3) int64 voxel AABBs already clamped to the grid in x/y
-               (vmax exclusive).
-    Returns (idx, shifts, idx_base, local_base, n_tiles) numpy int32 arrays,
-    or None if the slab is empty.  All per-tile pair-slot ranges fit int32
-    because a slab's cell count is < 2^31 by construction.
-    """
-    z0 = np.maximum(vmin[:, 2], z_lo)
-    z1 = np.minimum(vmax[:, 2], z_hi)
-    sx = vmax[:, 0] - vmin[:, 0]
-    sy = vmax[:, 1] - vmin[:, 1]
-    sz = z1 - z0
-    counts = np.where((sz > 0) & (sx > 0) & (sy > 0), sx * sy * sz, 0)
-    live = np.nonzero(counts)[0]
-    if live.size == 0:
-        return None
-
-    k = np.zeros(live.size, np.int32)
-    c = counts[live]
-    k = np.ceil(np.log2(np.maximum(c, 1))).astype(np.int32)
-    # guard against float log edge cases
-    too_small = (np.int64(1) << k.astype(np.int64)) < c
-    k[too_small] += 1
-
-    order = np.argsort(k, kind="stable")
-    live = live[order]
-    k = k[order]
-
-    idx_parts = []
-    shifts, idx_base, local_base = [], [], []
-    offset = 0
-    for kk in np.unique(k):
-        sel = k == kk
-        tris = live[sel].astype(np.int32)
-        nk = tris.size
-        dom = 1 << int(kk)
-        if dom <= tile:
-            per_tile = tile // dom
-            ntk = -(-nk // per_tile)
-            pad = ntk * per_tile - nk
-            if pad:
-                tris = np.concatenate([tris, np.full(pad, -1, np.int32)])
-            idx_parts.append(tris)
-            shifts.append(np.full(ntk, kk, np.int32))
-            idx_base.append(offset + np.arange(ntk, dtype=np.int32) * per_tile)
-            local_base.append(np.zeros(ntk, np.int32))
-            offset += tris.size
-        else:
-            tiles_per_tri = dom // tile
-            idx_parts.append(tris)
-            shifts.append(np.full(nk * tiles_per_tri, kk, np.int32))
-            idx_base.append(
-                offset + np.repeat(np.arange(nk, dtype=np.int32), tiles_per_tri)
-            )
-            local_base.append(
-                np.tile(
-                    np.arange(tiles_per_tri, dtype=np.int64) * tile, nk
-                ).astype(np.int32)
-            )
-            offset += nk
-
-    idx = np.concatenate(idx_parts)
-    shifts = np.concatenate(shifts)
-    idx_base = np.concatenate(idx_base)
-    local_base = np.concatenate(local_base)
-    return idx, shifts, idx_base, local_base, shifts.size
 
 
 def plan_adaptive_slabs(vmin, vmax, stride, z_extent, slot_budget, align=2):

@@ -1,0 +1,237 @@
+"""Fully fused Pallas pass kernel: expansion + rank decode + clip + key +
+premultiply in ONE kernel.
+
+Round-3 speed-of-light pass (VERDICT r2 #2).  The round-2 pass pipeline ran
+expansion (jnp.repeat, ~7 ms/2^21), the Pallas clip (~5 ms) and the
+key/premultiply epilogue as separate XLA ops, each reading and writing the
+full ~30-channel x budget intermediate through HBM (~250 MB of traffic per
+2^21-slot pass) plus a dispatch floor per op.  Here a single kernel reads the
+PER-ROW table slice (budget/expand rows -- 'expand'x smaller than the slot
+stream) and writes only the 5 output channels (key, w, w*r, w*g, w*b), so HBM
+traffic drops to ~40 MB per pass and the expansion itself runs on the MXU.
+
+In-kernel expansion (this replaces engine._bucket_pass's jnp.repeat): each
+output slot s takes row s // expand.  With expand STATIC per pass the mapping
+from a (SUB, 128) block of slots to rows is a fixed one-hot matrix, so
+expansion is a small f32 matmul in HIGHEST precision -- bf16x6 passes
+decompose each f32 operand exactly, and a one-hot LHS makes every output a
+1.0 * value product: bit-exact selection (verified against the jnp oracle in
+tests/test_pass_fused.py, and on-device by scripts/device_validate.py).
+
+Channel layout of the (32, R) input (first 24 = engine.build_tri_table rows):
+   0:9  vertex coords     9:15 UVs        15 pad
+  16    type             17:20 rgb        20 texture id    21:24 pad
+  24:27 voxel AABB min   27 sx  28 sy     29 AABB volume   30:32 pad
+Aug channels are small ints stored exactly in f32 (vol <= budget <= 2^23).
+
+The pure-jnp reference for everything in this kernel is engine._bucket_pass's
+prologue + ops/clip.clip_channels (reference semantics documented there;
+reference hot loop: /root/reference/src/voxelization.cpp:426-472).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .clip import _area_uv, _clip_polygons
+
+#: slots per grid step, laid out (SUB, 128); SUB=64 was the clip kernel's
+#: measured optimum (ops/clip_pallas.py).
+SUB = 64
+BLOCK = SUB * 128
+
+#: in-kernel sentinel (ops/combine.INVALID_KEY as a plain int)
+_INV = (1 << 31) - 1
+
+
+def _expand_block(rows, expand):
+    """Expand a block's row slice to per-slot channels (C, SUB, 128).
+
+    rows: (C, SUB, K') for expand <= 128 (K' = 128 // expand), else (C, RB)
+    with RB = max(BLOCK // expand, 1).  out[c, ...] at linear slot s holds
+    rows[c, s // expand].
+    """
+    C = rows.shape[0]
+    if expand <= 128:
+        K = 128 // expand
+        if K == 128:  # expand == 1: rows ARE the slots
+            return rows
+        if K == 1:  # expand == 128: one row per sublane
+            return jnp.broadcast_to(rows[:, :, 0:1], (C, SUB, 128))
+        # one-hot lane expansion on the MXU: oh[r, l] = (l // expand == r)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 1)
+        row_of = jax.lax.broadcasted_iota(jnp.int32, (K, 128), 0)
+        oh = (lane // expand == row_of).astype(jnp.float32)
+        return jax.lax.dot_general(
+            rows, oh, (((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    RB = rows.shape[-1]
+    if RB == 1:  # expand >= BLOCK: whole block shares one row
+        return jnp.broadcast_to(rows.reshape(C, 1, 1), (C, SUB, 128))
+    # 128 < expand < BLOCK: one-hot sublane expansion, lanes broadcast
+    sub = jax.lax.broadcasted_iota(jnp.int32, (RB, SUB), 1)
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (RB, SUB), 0)
+    oh = (sub // (expand // 128) == row_of).astype(jnp.float32)
+    tmp = jax.lax.dot_general(
+        rows.reshape(C, RB), oh, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.broadcast_to(tmp[:, :, None], (C, SUB, 128))
+
+
+def _divmod_f(lf, sf):
+    """Float-reciprocal divmod with one correction step: exact for
+    0 <= lf < 2^23 (see engine._bucket_pass)."""
+    q = jnp.floor(lf * (1.0 / sf))
+    r = lf - q * sf
+    q = jnp.where(r < 0, q - 1.0, jnp.where(r >= sf, q + 1.0, q))
+    return lf - q * sf, q
+
+
+def _make_kernel(expand, textured, ref_weights):
+    def kernel(scal_ref, rows_ref, key_ref, w_ref, a_ref, b_ref, c_ref):
+        i = pl.program_id(0)
+        local_base = scal_ref[0]
+        z_lo = scal_ref[1]
+        stride = scal_ref[2]
+
+        rows = rows_ref[...]
+        if expand <= 128:  # (C, 1, SUB, K') block from the 4-D layout
+            rows = rows[:, 0]
+        else:  # (C, 1, 1, RB) block (Mosaic wants full last-two block dims)
+            rows = rows[:, 0, 0]
+        e = _expand_block(rows, expand)
+
+        pos = (
+            jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1)
+            + i * BLOCK
+        )
+        local = local_base + (pos & jnp.int32(expand - 1))
+        localf = local.astype(jnp.float32)
+        mx, rest = _divmod_f(localf, e[27])
+        my, mz = _divmod_f(rest, e[28])
+        vxf = e[24] + mx
+        vyf = e[25] + my
+        vzf = e[26] + mz
+        valid = localf < e[29]
+
+        def slot(k):
+            return jnp.concatenate(
+                [e[3 * k : 3 * k + 3], e[9 + 2 * k : 9 + 2 * k + 2]], axis=0
+            )
+
+        s0 = slot(0)
+        slots = [s0, slot(1), slot(2), s0]
+        count = jnp.full((SUB, 128), 3, jnp.int32)
+        slots, count = _clip_polygons(slots, count, [vxf, vyf, vzf])
+        weight, uv_u, uv_v = _area_uv(slots, count)
+        w = jnp.where(valid, weight, 0.0)
+
+        if ref_weights:
+            # reference-fidelity weighting (see engine._bucket_pass): every
+            # occupied voxel weighs the WHOLE input triangle's area
+            e1x, e1y, e1z = e[3] - e[0], e[4] - e[1], e[5] - e[2]
+            e2x, e2y, e2z = e[6] - e[0], e[7] - e[1], e[8] - e[2]
+            cx = e1y * e2z - e1z * e2y
+            cy = e1z * e2x - e1x * e2z
+            cz = e1x * e2y - e1y * e2x
+            area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+            w = jnp.where(w > 0, area, 0.0)
+
+        vx = vxf.astype(jnp.int32)
+        vy = vyf.astype(jnp.int32)
+        vz = vzf.astype(jnp.int32)
+        key = (vz - z_lo) * (stride * stride) + vy * stride + vx
+        live = w > 0
+        key_ref[...] = jnp.where(live, key, _INV)
+        w_ref[...] = w
+        if textured:
+            # colors need the texture-pool gather; emit UVs for the XLA
+            # sampling epilogue instead of premultiplied rgb
+            a_ref[...] = uv_u
+            b_ref[...] = uv_v
+            c_ref[...] = jnp.zeros_like(w)
+        else:
+            a_ref[...] = w * e[17]
+            b_ref[...] = w * e[18]
+            c_ref[...] = w * e[19]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand", "budget", "textured", "ref_weights", "interpret"),
+)
+def fused_pass_pallas(
+    data32,
+    local_base,
+    z_lo,
+    stride,
+    *,
+    expand,
+    budget,
+    textured=False,
+    ref_weights=False,
+    interpret=False,
+):
+    """Run one fused pass.
+
+    data32: (32, R) f32 with R = budget // expand (channel layout above).
+    Returns (key (P,) i32, w, a, b, c (P,) f32) with P = budget;
+    (a, b, c) = premultiplied rgb, or (u, v, 0) when textured.
+    """
+    assert budget % BLOCK == 0 and budget // BLOCK >= 1, budget
+    assert expand <= budget and data32.shape[1] == budget // expand
+    nblocks = budget // BLOCK
+
+    if expand <= 128:
+        K = 128 // expand
+        rows3 = data32.reshape(32, nblocks, SUB, K)
+        rows_spec = pl.BlockSpec(
+            (32, 1, SUB, K), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        # Mosaic requires the last two block dims to divide (8, 128) or equal
+        # the array dims; (32, 1, 1, RB) blocks over a 4-D layout satisfy that
+        # for any RB
+        RB = max(BLOCK // expand, 1)
+        rows3 = data32.reshape(32, -1, 1, RB)
+        step = max(expand // BLOCK, 1)
+        rows_spec = pl.BlockSpec(
+            (32, 1, 1, RB),
+            (lambda i: (0, i // step, 0, 0)) if step > 1
+            else (lambda i: (0, i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(local_base, jnp.int32),
+            jnp.asarray(z_lo, jnp.int32),
+            jnp.asarray(stride, jnp.int32),
+        ]
+    )
+    out_spec = pl.BlockSpec((SUB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((budget // 128, 128), jnp.float32)
+    outs = pl.pallas_call(
+        _make_kernel(expand, textured, ref_weights),
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rows_spec],
+        out_specs=(out_spec,) * 5,
+        out_shape=(
+            jax.ShapeDtypeStruct((budget // 128, 128), jnp.int32),
+            shape, shape, shape, shape,
+        ),
+        interpret=interpret,
+    )(scal, rows3)
+    return tuple(o.reshape(budget) for o in outs)

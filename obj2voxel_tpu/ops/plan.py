@@ -137,7 +137,9 @@ def plan_mesh(vmin, vmax, stride, z_extent, slot_budget, align=2, z_window=None)
 
     z0 = np.maximum(vmin[idx, 2], starts[slab_of])
     z1 = np.minimum(vmax[idx, 2], stops[slab_of])
-    counts = sx[idx] * sy[idx] * (z1 - z0)
+    # int64 product: callers may pass int32 AABBs (engine does, to halve the
+    # 10M-triangle planning footprint)
+    counts = sx[idx].astype(np.int64) * sy[idx] * (z1 - z0)
     k = _ceil_log2(counts)
 
     key = slab_of * 64 + k  # k < 40 always (counts < 2^31 per slab)

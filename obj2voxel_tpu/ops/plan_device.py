@@ -104,9 +104,11 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
     table:  (N_pad, 24) device-resident triangle row table (build_tri_table).
     n_sub:  number of real (unpadded) rows.
 
-    Returns (order_device, segments) mirroring plan.plan_mesh -- order is a
-    device int32 array whose live prefix is the gather order -- or None if
-    the mesh needs a host fallback (too many slabs / empty).
+    Always returns a (order_device, segments) tuple mirroring plan.plan_mesh:
+      * (order, segments) -- order is a device int32 array whose live prefix
+        is the gather order;
+      * (None, [])        -- empty mesh, nothing to voxelize;
+      * (None, None)      -- the mesh needs the HOST planner (too many slabs).
     """
     per_row, vmin, vmax = _stage1(
         table, jnp.int32(n_sub), stride=stride, z_extent=z_extent
@@ -117,7 +119,7 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
     if not slabs:
         return None, []
     if len(slabs) > MAX_DEVICE_SLABS:
-        return None  # host fallback
+        return None, None  # host fallback
 
     s_pad = next(s for s in _S_LADDER if s >= len(slabs))
     starts = np.full(s_pad, z_extent, np.int32)

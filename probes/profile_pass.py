@@ -46,7 +46,7 @@ def main():
         combine_sorted,
         _combine_sorted_kernel,
         premultiply,
-        sort_vals4,
+        sort_channels,
     )
 
     res = 1024
@@ -80,21 +80,21 @@ def main():
     keys_d, w_d, rgb_d = jnp.asarray(keys), jnp.asarray(w), jnp.asarray(rgb)
 
     prem = jax.jit(premultiply)
-    vals = jax.block_until_ready(prem(w_d, rgb_d))
+    chans = jax.block_until_ready(prem(w_d, rgb_d))
     print(f"premultiply        {timeit(prem, w_d, rgb_d):7.2f} ms")
 
-    srt = jax.jit(sort_vals4)
-    sk, sv = jax.block_until_ready(srt(keys_d, vals))
-    print(f"sort_vals4         {timeit(srt, keys_d, vals):7.2f} ms")
+    srt = jax.jit(sort_channels)
+    sk, sch = jax.block_until_ready(srt(keys_d, chans))
+    print(f"sort_channels      {timeit(srt, keys_d, chans):7.2f} ms")
 
     comb = jax.jit(lambda k, v: combine_sorted(k, v, jnp.bool_(True)))
-    print(f"combine (scan)     {timeit(comb, sk, sv):7.2f} ms")
+    print(f"combine (scan)     {timeit(comb, sk, sch):7.2f} ms")
 
     combk = jax.jit(lambda k, v: _combine_sorted_kernel(k, v, jnp.bool_(True)))
-    print(f"combine (pallas)   {timeit(combk, sk, sv):7.2f} ms")
+    print(f"combine (pallas)   {timeit(combk, sk, sch):7.2f} ms")
 
-    sort1 = jax.jit(lambda k, v: jax.lax.sort((k,) + tuple(v[:, i] for i in range(4)), num_keys=1, is_stable=False))
-    print(f"bare 5-op sort     {timeit(sort1, sk, sv):7.2f} ms")
+    sort1 = jax.jit(lambda k, v: jax.lax.sort((k,) + tuple(v), num_keys=1, is_stable=False))
+    print(f"bare 5-op sort     {timeit(sort1, sk, sch):7.2f} ms")
 
 
 if __name__ == "__main__":

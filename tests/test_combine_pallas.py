@@ -13,18 +13,19 @@ from obj2voxel_tpu.ops.combine import (
     INVALID_KEY,
     combine_sorted,
     premultiply,
-    sort_vals4,
+    sort_channels,
 )
 from obj2voxel_tpu.ops.combine_pallas import segment_combine_pallas
 
 
 def _run_both(keys, w, rgb, is_blend):
-    vals = premultiply(jnp.asarray(w), jnp.asarray(rgb))
-    sk, sv = sort_vals4(jnp.asarray(keys), vals)
-    ok, ov, oc = combine_sorted(sk, sv, is_blend)
+    chans = premultiply(jnp.asarray(w), jnp.asarray(rgb))
+    sk, sch = sort_channels(jnp.asarray(keys), chans)
+    ok, och, oc = combine_sorted(sk, sch, is_blend)
+    ov = jnp.stack(och, axis=-1)
 
     tk, tw, tr, tg, tb = segment_combine_pallas(
-        sk, sv[:, 0], sv[:, 1], sv[:, 2], sv[:, 3],
+        sk, sch[0], sch[1], sch[2], sch[3],
         jnp.bool_(is_blend), interpret=True,
     )
     tk = np.asarray(tk)

@@ -48,9 +48,8 @@ def _plans(n, res, z_extent, slot_budget, seed=0):
 
 @pytest.mark.parametrize("slot_budget", [1 << 12, 1 << 16])
 def test_device_plan_matches_host(slot_budget):
-    (h_order, h_segs), dev = _plans(500, 64, 64, slot_budget, seed=1)
-    assert dev is not None
-    d_order, d_segs = dev
+    (h_order, h_segs), (d_order, d_segs) = _plans(500, 64, 64, slot_budget, seed=1)
+    assert d_order is not None
     assert d_segs == h_segs
     m = h_order.size
     np.testing.assert_array_equal(np.asarray(d_order)[:m], h_order)
@@ -58,9 +57,8 @@ def test_device_plan_matches_host(slot_budget):
 
 def test_device_plan_multislab():
     # small budget -> several slabs; still identical
-    (h_order, h_segs), dev = _plans(2000, 128, 128, 1 << 24, seed=2)
-    assert dev is not None
-    d_order, d_segs = dev
+    (h_order, h_segs), (d_order, d_segs) = _plans(2000, 128, 128, 1 << 24, seed=2)
+    assert d_order is not None
     assert d_segs == h_segs
     slabs = {(s.z_lo, s.z_hi) for s in h_segs}
     assert len(slabs) > 1
@@ -77,8 +75,9 @@ def test_device_plan_falls_back_on_many_slabs():
     n_pad = _pow2_at_least(verts.shape[0])
     padded = _pad_tris([verts, uvs, types, rgb, tex], n_pad)
     table = jnp.asarray(build_tri_table(*padded))
+    # (None, None) signals "use the host planner"
     dev = plan_mesh_device(table, verts.shape[0], 64, z_extent, 1 << 8)
-    assert dev is None
+    assert dev == (None, None)
 
 
 def test_device_plan_empty_mesh():

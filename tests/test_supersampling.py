@@ -64,8 +64,9 @@ def test_downscale_merge_numpy_oracle(is_blend):
     vals = np.concatenate([w[:, None], w[:, None] * rgb], axis=1).astype(np.float32)
 
     dk = downscale_keys(jnp.asarray(keys), stride)
-    ok, ov, oc = merge_combined(dk, jnp.asarray(vals), is_blend)
-    ok, ov, oc = np.asarray(ok), np.asarray(ov), int(oc)
+    chans = tuple(jnp.asarray(vals[:, i]) for i in range(4))
+    ok, och, oc = merge_combined(dk, chans, is_blend)
+    ok, ov, oc = np.asarray(ok), np.stack([np.asarray(c) for c in och], axis=-1), int(oc)
 
     assert oc == 2
     s2 = stride // 2
@@ -83,7 +84,11 @@ def test_downscale_merge_numpy_oracle(is_blend):
     np.testing.assert_array_equal(ov[1], expect_b)
 
     # finalize recovers rgb = (w*c)/w
-    out_rgb = np.asarray(finalize_colors(jnp.asarray(ov[:2])))
+    out_rgb = np.stack(
+        [np.asarray(c) for c in
+         finalize_colors(tuple(jnp.asarray(ov[:2, i]) for i in range(4)))],
+        axis=-1,
+    )
     np.testing.assert_allclose(out_rgb[0], expect_a[1:] / expect_a[0], rtol=1e-6)
 
 
