@@ -259,15 +259,9 @@ class Instance:
 
             import jax as _jax
 
-            if (
-                self._parallel
-                and len(_jax.devices()) > 1
-                and self._unit_transform is None
-                and self._bounds is None
-            ):
+            if self._parallel and len(_jax.devices()) > 1:
                 # multi-chip path: z-sharded over the device mesh (reference
-                # chunk parallelism, obj2voxel.cpp:503-507); unit transforms /
-                # explicit bounds fall back to the single-chip engine
+                # chunk parallelism, obj2voxel.cpp:503-507)
                 from .parallel.mesh import voxelize_sharded
 
                 def _stream():
@@ -277,6 +271,8 @@ class Instance:
                         resolution=self._resolution,
                         supersampling=self._supersampling,
                         strategy=self._strategy,
+                        unit_transform=self._unit_transform,
+                        bounds=self._bounds,
                         pair_tile=self._pair_tile,
                     )
 

@@ -57,7 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-u", "--super", dest="supersample", action="store_true",
                    help="enable 2x supersampling")
     p.add_argument("-j", "--threads", dest="threads", type=int, default=None,
-                   metavar="threads", help="accepted for compatibility; compute runs on TPU")
+                   metavar="threads",
+                   help="worker count; 0 disables multi-device parallelism "
+                        "(compute itself always runs on the accelerator)")
     p.add_argument("-v", "--verbose", dest="verbose", action="count", default=0,
                    help="enable verbose logging (-vv for per-slab progress)")
     p.add_argument("-V", "--version", dest="version", action="store_true",
@@ -134,6 +136,10 @@ def main(argv=None) -> int:
             log.warning("Continuing without fallback texture because it could not be loaded")
 
     inst.set_unit_transform(unit_transform)
+    # parallel by default, like the reference CLI spawning hardware_concurrency
+    # workers (main.cpp:149-164); -j 0 forces the single-device engine.  With
+    # one visible device Instance.voxelize falls through to single-chip anyway.
+    inst.set_parallel(args.threads != 0)
     inst.set_resolution(args.resolution)
     inst.set_supersampling(1 + int(args.supersample))
     inst.set_color_strategy(

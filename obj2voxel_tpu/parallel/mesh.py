@@ -17,6 +17,15 @@ device executes an identical program per round -- devices with fewer passes
 in a round run it with n_rows == 0 and produce nothing -- and per-device
 compacted outputs are merged device-side at the end of each slab round.
 
+Round 3: reachable from the public API (Instance.set_parallel -> voxelize;
+the CLI enables it by default when several devices are visible, mirroring the
+reference CLI spawning hardware_concurrency workers, main.cpp:149-164) with
+unit_transform/bounds support; per-pass outputs are COUNT-SLICED before
+merging (one batched counts pull per round) and folded hierarchically against
+engine.MERGE_LADDER, so merge program size is bounded by live rows -- the
+round-2 version concatenated full budget-sized buffers, growing merges
+linearly with pass count.
+
 Scaling model: tall grids are processed as LOCKSTEP sub-slabs (every device
 window is split by the same int32-key height cap), so arbitrarily large
 resolutions stream with bounded memory exactly like the single-chip engine.
@@ -32,8 +41,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..constants import BLEND_STRATEGY, MAX_STRATEGY, PAIR_TILE
 from ..engine import (
     MAX_PASS_BUDGET,
+    MERGE_LADDER,
     TriangleSoup,
     _bucket_pass,
+    _merge_keys,
     _merge_pass,
     _pow2_at_least,
     _schedule_passes,
@@ -48,6 +59,7 @@ from ..ops.subdivide import subdivide_soup
 
 _PASS_CACHE: dict = {}
 _MERGE_CACHE: dict = {}
+_FOLD_CACHE: dict = {}
 
 
 def _device_windows(z_extent: int, n_devices: int, align: int = 2):
@@ -66,14 +78,14 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
 
     def per_device(tableT, pixels, meta, r0, n_rows, local_base, z_lo, z_hi,
                    stride, is_blend, do_down):
-        keys, vals, _xyz, _argb, count = _bucket_pass(
+        keys, chans, _xyz, _argb, count = _bucket_pass(
             tableT, pixels, meta,
             r0[0], n_rows[0], local_base[0], z_lo[0], z_hi[0],
             stride, is_blend, do_down,
             expand=expand, budget=budget, use_pallas=use_pallas,
             wide_local=wide_local, finalize=False,
         )
-        return keys[None], vals[None], count[None]
+        return (keys[None],) + tuple(c[None] for c in chans) + (count[None],)
 
     fn = jax.jit(
         jax.shard_map(
@@ -81,7 +93,7 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
             mesh=mesh,
             in_specs=(P(), P(), P(), P("z"), P("z"), P("z"), P("z"), P("z"),
                       P(), P(), P()),
-            out_specs=(P("z"), P("z"), P("z")),
+            out_specs=(P("z"),) * 6,
         )
     )
     _PASS_CACHE[key] = fn
@@ -94,9 +106,9 @@ def _sharded_merge(mesh, rows, use_pallas, stride, do_down):
     if fn is not None:
         return fn
 
-    def per_device(keys, vals, z_lo, is_blend):
+    def per_device(keys, w, r, g, b, z_lo, is_blend):
         xyz, argb, count = _merge_pass(
-            keys[0], vals[0], z_lo[0], is_blend,
+            keys[0], (w[0], r[0], g[0], b[0]), z_lo[0], is_blend,
             stride=stride, do_downscale=do_down,
             budget=rows, use_kernel=use_pallas,
         )
@@ -106,12 +118,71 @@ def _sharded_merge(mesh, rows, use_pallas, stride, do_down):
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P("z"), P("z"), P("z"), P()),
+            in_specs=(P("z"), P("z"), P("z"), P("z"), P("z"), P("z"), P()),
             out_specs=(P("z"), P("z"), P("z")),
         )
     )
     _MERGE_CACHE[key] = fn
     return fn
+
+
+def _sharded_fold(mesh, rows, use_pallas):
+    """Per-device fold of concatenated compacted rows: same _merge_keys as the
+    single-chip engine, mapped over the z mesh (keys are window-local, so no
+    cross-device communication is needed)."""
+    key = (id(mesh), rows, use_pallas)
+    fn = _FOLD_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def per_device(keys, w, r, g, b, is_blend):
+        k, ch, count = _merge_keys(
+            keys[0], (w[0], r[0], g[0], b[0]), is_blend,
+            budget=rows, use_kernel=use_pallas,
+        )
+        return (k[None],) + tuple(c[None] for c in ch) + (count[None],)
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P("z"),) * 5 + (P(),),
+            out_specs=(P("z"),) * 6,
+        )
+    )
+    _FOLD_CACHE[key] = fn
+    return fn
+
+
+def _concat_sharded(group, n_devices, pad_to):
+    """Concatenate (keys (D, B), chans 4 x (D, B)) chunks along axis 1 with
+    INVALID_KEY / zero padding to `pad_to` rows per device."""
+    total = sum(k.shape[1] for k, _ in group)
+    ks = [k for k, _ in group]
+    chs = [[ch[i] for _, ch in group] for i in range(4)]
+    if pad_to > total:
+        ks.append(jnp.full((n_devices, pad_to - total), INVALID_KEY, jnp.int32))
+        zpad = jnp.zeros((n_devices, pad_to - total), jnp.float32)
+        for i in range(4):
+            chs[i].append(zpad)
+    return (
+        jnp.concatenate(ks, axis=1),
+        tuple(jnp.concatenate(c, axis=1) for c in chs),
+    )
+
+
+def _fold_group(group, mesh, n_devices, is_blend, use_pallas):
+    """Fold one list of (keys (D, B), chans) into a single compacted pair,
+    sliced down to pow2(max per-device count)."""
+    total = sum(k.shape[1] for k, _ in group)
+    rows = next((b for b in MERGE_LADDER if b >= total), _pow2_at_least(total))
+    cat_keys, cat_chans = _concat_sharded(group, n_devices, rows)
+    fold = _sharded_fold(mesh, rows, use_pallas)
+    out = fold(cat_keys, *cat_chans, jnp.bool_(is_blend))
+    keys, chans, counts = out[0], out[1:5], out[5]
+    cmax = int(np.asarray(counts).max())
+    p2 = min(_pow2_at_least(cmax, 1 << 10), keys.shape[1])
+    return keys[:, :p2], tuple(c[:, :p2] for c in chans)
 
 
 def voxelize_sharded(
@@ -121,6 +192,8 @@ def voxelize_sharded(
     resolution: int,
     strategy: int = MAX_STRATEGY,
     supersampling: int = 1,
+    unit_transform=None,
+    bounds=None,
     n_devices: int | None = None,
     devices=None,
     pair_tile: int = PAIR_TILE,
@@ -153,8 +226,12 @@ def voxelize_sharded(
     is_blend = bool(strategy == BLEND_STRATEGY)
     do_down = bool(supersampling > 1)
 
-    mesh_min, mesh_max = mesh_bounds(soup.verts)
-    transform = compute_mesh_transform(mesh_min, mesh_max, sample_res)
+    if bounds is None:
+        mesh_min, mesh_max = mesh_bounds(soup.verts)
+    else:
+        mesh_min = np.asarray(bounds[0], np.float32)
+        mesh_max = np.asarray(bounds[1], np.float32)
+    transform = compute_mesh_transform(mesh_min, mesh_max, sample_res, unit_transform)
     verts_host = transform.apply(soup.verts)
     verts_host, uvs_host, tri_index = subdivide_soup(verts_host, soup.uvs)
     types_host = soup.types[tri_index]
@@ -237,7 +314,7 @@ def voxelize_sharded(
                     plist = sched.get(cls, ())
                     if j < len(plist):
                         metas[:, d] = plist[j]
-                keys, vals, counts = fn(
+                out = fn(
                     tableT, pixels, meta,
                     jnp.asarray(metas[0]), jnp.asarray(metas[1]),
                     jnp.asarray(metas[2]), jnp.asarray(metas[3]),
@@ -246,29 +323,62 @@ def voxelize_sharded(
                     # downscale happens at the merge
                     jnp.bool_(False),
                 )
-                dev_rows.append((keys, vals))
+                dev_rows.append((out[0], out[1:5], out[5]))
 
         if not dev_rows:
             continue
 
         # --- device-side merge of this round's outputs ------------------------
-        total = sum(k.shape[1] for k, _ in dev_rows)
-        rows = _pow2_at_least(total, 1 << 12)
-        pad = rows - total
-        ks = [k for k, _ in dev_rows]
-        vs = [v for _, v in dev_rows]
-        if pad:
-            ks.append(jnp.full((n_devices, pad), INVALID_KEY, jnp.int32))
-            vs.append(jnp.zeros((n_devices, pad, 4), jnp.float32))
+        # One batched counts pull for all passes of the round, then slice each
+        # compacted output to pow2(max per-device count) before merging: merge
+        # program size is bounded by live rows, not pass_count x budget (the
+        # round-2 version concatenated FULL budget-sized buffers).
+        counts_all = np.asarray(jnp.stack([c for _, _, c in dev_rows]))
+        chunks = []
+        for (k, ch, _), cs in zip(dev_rows, counts_all):
+            cmax = int(cs.max())
+            if cmax == 0:
+                continue
+            p2 = min(_pow2_at_least(cmax, 1 << 10), k.shape[1])
+            chunks.append((k[:, :p2], tuple(c[:, :p2] for c in ch)))
+        if not chunks:
+            continue
+
+        # hierarchical fold against the merge ladder (same scheme as
+        # engine.stream_slabs) so one merge program never exceeds the top rung
+        while sum(k.shape[1] for k, _ in chunks) > MERGE_LADDER[-1]:
+            groups, cur, rows_acc = [], [], 0
+            for item in chunks:
+                if cur and rows_acc + item[0].shape[1] > MERGE_LADDER[-1]:
+                    groups.append(cur)
+                    cur, rows_acc = [], 0
+                cur.append(item)
+                rows_acc += item[0].shape[1]
+            if len(cur) == len(chunks):
+                break  # single oversized chunk: merge pads past the ladder
+            if cur:
+                groups.append(cur)
+            folded = [
+                _fold_group(g, mesh, n_devices, is_blend, use_pallas)
+                for g in groups
+            ]
+            if sum(k.shape[1] for k, _ in folded) >= sum(
+                k.shape[1] for k, _ in chunks
+            ):
+                chunks = folded
+                break  # no progress (all rows distinct); pad past the ladder
+            chunks = folded
+
+        total = sum(k.shape[1] for k, _ in chunks)
+        rows = next((b for b in MERGE_LADDER if b >= total),
+                    _pow2_at_least(total))
+        cat_keys, cat_chans = _concat_sharded(chunks, n_devices, rows)
         z_los = jnp.asarray(
             [min(w0 + s * sub_h, w1) for w0, w1 in windows], jnp.int32
         )
         merge = _sharded_merge(mesh, rows, use_pallas, sample_res, do_down)
         xyz, argb, counts = merge(
-            jnp.concatenate(ks, axis=1),
-            jnp.concatenate(vs, axis=1),
-            z_los,
-            jnp.bool_(is_blend),
+            cat_keys, *cat_chans, z_los, jnp.bool_(is_blend),
         )
         counts = np.asarray(counts)
         xyz = np.asarray(xyz)

@@ -78,3 +78,73 @@ def test_sharded_large_mesh_matches_single_device(pair_tile):
     assert set(sharded) == set(single)
     # colors: identical combine semantics; MAX selections are bit-exact
     assert sharded == single
+
+
+def _run_instance(soup, *, parallel, r=16, perm=None, bounds=None,
+                  strategy=None, supersample=False, pair_tile=1 << 12):
+    """Drive the PUBLIC API path (Instance.set_parallel -> voxelize) and
+    return {(x,y,z): argb}."""
+    from obj2voxel_tpu import constants as C
+    from obj2voxel_tpu.api import Instance
+    from obj2voxel_tpu.geometry import parse_permutation
+
+    inst = Instance()
+    inst.set_input_soup(soup)
+    inst.set_resolution(r)
+    inst.set_parallel(parallel)
+    inst._pair_tile = pair_tile
+    if perm is not None:
+        inst.set_unit_transform(parse_permutation(perm))
+    if bounds is not None:
+        inst.set_mesh_boundaries(bounds)
+    if strategy is not None:
+        inst.set_color_strategy(strategy)
+    if supersample:
+        inst.set_supersampling(2)
+    out = {}
+
+    def sink(data, count):
+        for row in np.asarray(data):
+            out[tuple(int(v) for v in row[:3])] = int(row[3])
+        return True
+
+    inst.set_output_callback(sink)
+    assert inst.voxelize() == 0
+    return out
+
+
+def test_instance_parallel_matches_single_chip(cube_soup):
+    """The path users actually call: Instance.set_parallel(True) must produce
+    the same voxels as the single-chip engine (VERDICT r2: the round-2 gate
+    was statically dead and silently ran single-chip)."""
+    par = _run_instance(cube_soup, parallel=True)
+    ser = _run_instance(cube_soup, parallel=False)
+    assert len(par) == expected_unit_cube_voxels(16)
+    assert par == ser
+
+
+def test_instance_parallel_with_permutation(cube_soup):
+    """Permuted/flipped runs must go through the sharded path too (round-2
+    voxelize_sharded had no unit_transform support)."""
+    par = _run_instance(cube_soup, parallel=True, perm="zXy")
+    ser = _run_instance(cube_soup, parallel=False, perm="zXy")
+    assert par == ser and len(par) > 0
+
+
+def test_instance_parallel_with_bounds(cube_soup):
+    bounds = (-0.25, -0.25, -0.25, 1.25, 1.25, 1.25)
+    par = _run_instance(cube_soup, parallel=True, bounds=bounds)
+    ser = _run_instance(cube_soup, parallel=False, bounds=bounds)
+    assert par == ser and len(par) > 0
+
+
+def test_instance_parallel_blend_supersampled(cube_soup):
+    from obj2voxel_tpu import constants as C
+
+    par = _run_instance(
+        cube_soup, parallel=True, strategy=C.BLEND_STRATEGY, supersample=True
+    )
+    ser = _run_instance(
+        cube_soup, parallel=False, strategy=C.BLEND_STRATEGY, supersample=True
+    )
+    assert par == ser and len(par) > 0
