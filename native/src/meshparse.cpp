@@ -342,7 +342,9 @@ inline char* put_int(char* p, long v) {
 // uint32.  Returns bytes written, or -1 if cap may be too small.
 long o2v_format_xyzrgb(const int* xyz, const unsigned* argb, long n,
                        char* out, long cap) {
-    if (cap < n * 42) return -1;  // 3*11 + 3*4 + separators upper bound
+    // true worst case per line: 3 coords x ("-2147483648" = 11 chars + sep)
+    // + 3 color bytes x (3 chars + sep) = 48 bytes
+    if (cap < n * 48) return -1;
     char* p = out;
     for (long i = 0; i < n; ++i) {
         p = put_int(p, xyz[i * 3 + 0]); *p++ = ' ';
@@ -359,7 +361,9 @@ long o2v_format_xyzrgb(const int* xyz, const unsigned* argb, long n,
 // ASCII "x y z i 127\n" voxel lines (QEF codec).
 long o2v_format_qef(const int* xyz, const long* idx, long n,
                     char* out, long cap) {
-    if (cap < n * 50) return -1;
+    // true worst case per line: 3 coords x 12 + int64 idx ("-92233..." = 20
+    // chars) + " 127\n" = 61 bytes
+    if (cap < n * 61) return -1;
     char* p = out;
     for (long i = 0; i < n; ++i) {
         p = put_int(p, xyz[i * 3 + 0]); *p++ = ' ';

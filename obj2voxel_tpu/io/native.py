@@ -147,11 +147,11 @@ def format_xyzrgb_native(xyz: np.ndarray, argb: np.ndarray):
     n = xyz.shape[0]
     xyz = np.ascontiguousarray(xyz, np.int32)
     argb = np.ascontiguousarray(argb, np.uint32)
-    out = ctypes.create_string_buffer(n * 42)
+    out = ctypes.create_string_buffer(n * 48)  # worst-case 48 B/line
     got = lib.o2v_format_xyzrgb(
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         argb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint)),
-        n, out, n * 42,
+        n, out, n * 48,
     )
     return out.raw[:got] if got >= 0 else None
 
@@ -164,11 +164,11 @@ def format_qef_native(xyz: np.ndarray, idx: np.ndarray):
     n = xyz.shape[0]
     xyz = np.ascontiguousarray(xyz, np.int32)
     idx = np.ascontiguousarray(idx, np.int64)
-    out = ctypes.create_string_buffer(n * 50)
+    out = ctypes.create_string_buffer(n * 61)  # worst-case 61 B/line
     got = lib.o2v_format_qef(
         xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        n, out, n * 50,
+        n, out, n * 61,
     )
     return out.raw[:got] if got >= 0 else None
 

@@ -40,6 +40,16 @@ def load_stl(path: str) -> TriangleSoup | None:
         log.error("Unexpected EOF or error when reading triangle")
         return None
 
-    records = np.frombuffer(data, _RECORD, count=count, offset=84)
-    verts = np.ascontiguousarray(records["verts"], dtype=np.float32)
+    from .native import parse_stl_native
+
+    try:
+        verts = parse_stl_native(data)
+    except ValueError:
+        # validated above, so the native parser should never reject; keep the
+        # reference's error text if it somehow does
+        log.error("Unexpected EOF or error when reading triangle")
+        return None
+    if verts is None:  # no native library: numpy bulk parse
+        records = np.frombuffer(data, _RECORD, count=count, offset=84)
+        verts = np.ascontiguousarray(records["verts"], dtype=np.float32)
     return TriangleSoup.from_vertices(verts)

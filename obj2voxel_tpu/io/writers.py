@@ -217,15 +217,37 @@ def _quantize_palette(argb: np.ndarray, max_colors: int = 255):
         boxes[i] = order[:half]
         boxes.append(order[half:])
 
-    palette = np.empty(len(boxes), np.uint32)
+    centers = np.empty((len(boxes), 3), np.float64)
     color_to_box = np.empty(len(colors), np.int64)
     for bi, b in enumerate(boxes):
         w = counts[b].astype(np.float64)
-        mean = (rgb[b] * w[:, None]).sum(0) / w.sum()
-        q = np.clip(np.round(mean), 0, 255).astype(np.uint32)
-        palette[bi] = 0xFF000000 | (q[0] << 16) | (q[1] << 8) | q[2]
+        centers[bi] = (rgb[b] * w[:, None]).sum(0) / w.sum()
         color_to_box[b] = bi
-    return palette, color_to_box[inverse]
+
+    # Lloyd (k-means) refinement of the median-cut seed: reassign each
+    # distinct color to its nearest center, recompute count-weighted means.
+    # Median-cut alone splits along single channels and leaves visible banding
+    # on smooth gradients; a few Lloyd sweeps cut mean squared error ~2x.
+    assign = color_to_box
+    fw = counts.astype(np.float64)
+    for _ in range(10):
+        new_assign = np.empty(len(colors), np.int64)
+        for c0 in range(0, len(colors), 1 << 14):  # bound the distance matrix
+            blk = slice(c0, min(c0 + (1 << 14), len(colors)))
+            d = ((rgb[blk, None, :] - centers[None, :, :]) ** 2).sum(-1)
+            new_assign[blk] = d.argmin(1)
+        if np.array_equal(new_assign, assign):
+            break
+        assign = new_assign
+        wsum = np.bincount(assign, weights=fw, minlength=len(centers))
+        for ch in range(3):
+            s = np.bincount(assign, weights=rgb[:, ch] * fw, minlength=len(centers))
+            nz = wsum > 0
+            centers[nz, ch] = s[nz] / wsum[nz]  # empty clusters keep their seed
+
+    q = np.clip(np.round(centers), 0, 255).astype(np.uint32)
+    palette = 0xFF000000 | (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+    return palette.astype(np.uint32), assign[inverse]
 
 
 class VoxWriter(_PalettedWriter):
@@ -262,8 +284,8 @@ class VoxWriter(_PalettedWriter):
         for mi, key in enumerate(uniq):
             sel = cell_inv == mi
             cx, cy, cz = int(key >> 42), int((key >> 21) & 0x1FFFFF), int(key & 0x1FFFFF)
-            model_cells.append((cx, cy, cz))
             dim = min(m, r - cx * m), min(m, r - cy * m), min(m, r - cz * m)
+            model_cells.append((cx, cy, cz, dim))
             size = np.asarray(dim, np.uint32).tobytes()
             n = int(sel.sum())
             vox = np.empty((n, 4), np.uint8)
@@ -322,12 +344,14 @@ class VoxWriter(_PalettedWriter):
             + b"".join(np.int32(c).tobytes() for c in child_ids)
         )
         chunks += self._chunk(b"nGRP", grp)
-        for i, (cx, cy, cz) in enumerate(cells):
+        for i, (cx, cy, cz, dim) in enumerate(cells):
             tid, sid = child_ids[i], child_ids[i] + 1
-            # MagicaVoxel translations are model-center based
-            tx = cx * m + m // 2
-            ty = cy * m + m // 2
-            tz = cz * m + m // 2
+            # MagicaVoxel places a model's CENTER at the translation: a voxel
+            # at model-local p maps to world t + p - size//2, so edge cells
+            # (size < 256) must offset by their own half-size, not 128
+            tx = cx * m + dim[0] // 2
+            ty = cy * m + dim[1] // 2
+            tz = cz * m + dim[2] // 2
             trn = (
                 np.int32(tid).tobytes()
                 + dict_bytes({})
