@@ -33,9 +33,17 @@ import jax
 # The slab kernels are compiled once per (budget, tile) size; persist the
 # executables so CLI invocations after the first skip the multi-minute XLA
 # compile.
-_cache_dir = _os.environ.get(
-    "O2V_COMPILE_CACHE", _os.path.expanduser("~/.cache/obj2voxel_tpu_xla")
-)
+_cache_dir = _os.environ.get("O2V_COMPILE_CACHE")
+if _cache_dir is None:
+    _cache_dir = _os.path.expanduser("~/.cache/obj2voxel_tpu_xla")
+    # CPU runs (the pytest suite) get their own default directory: a CPU
+    # suite and a device job sharing one cache directory across processes
+    # correlated with rare hard crashes (SIGSEGV) in the XLA client
+    _plat = getattr(jax.config, "jax_platforms", None) or _os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    if _plat and "cpu" in _plat:
+        _cache_dir += "_cpu"
 if _cache_dir and _cache_dir != "0":
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
