@@ -71,6 +71,7 @@ from .ops.combine import (
     merge_combined,
     pack_argb,
     premultiply,
+    sort_channels,
 )
 from .ops.plan import plan_mesh
 from .ops.plan_device import plan_mesh_device
@@ -93,6 +94,10 @@ BUDGET_LADDER = (1 << 14, 1 << 17, 1 << 21, 1 << 22, 1 << 23)
 #: outputs exceed the top rung fold hierarchically on device.
 MERGE_LADDER = (1 << 12, 1 << 16, 1 << 20, 1 << 21, 1 << 22, 1 << 23, 1 << 24,
                 1 << 25)
+
+#: Dispatch counters for the most recent stream_slabs call (diagnostics and
+#: test assertions for the batched-dispatch path; not thread-safe by design).
+WAVE_STATS = {"passes": 0, "dispatches": 0, "batched": 0}
 
 
 def _chunk_budget(remaining_slots: int, expand: int, max_budget: int) -> int:
@@ -446,6 +451,92 @@ def _bucket_pass(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("expand", "budget", "nbatch", "use_pallas", "ref_weights"),
+)
+def _bucket_pass_batch(
+    tableT,
+    r0s,
+    n_rows_s,
+    local_bases,
+    z_los,
+    z_his,
+    stride,
+    *,
+    expand,
+    budget,
+    nbatch,
+    use_pallas,
+    ref_weights=False,
+):
+    """`nbatch` same-shape fused passes in ONE dispatch.
+
+    Batches the fused-pass fast path of `_bucket_pass` (texture-free,
+    non-giant, multi-pass-slab passes with finalize=False) over passes that
+    share the static (expand, budget) but differ in traced scalars — passes
+    from DIFFERENT slabs batch together (z_lo/z_hi ride in the per-pass scalar
+    rows).  One kernel launch plus one batched compaction sort amortizes the
+    per-dispatch floor (~6 ms through the relay) that made up ~1/3 of a warm
+    2^21-slot pass.
+
+    r0s/n_rows_s/local_bases/z_los/z_his: (nbatch,) int32.
+    Returns (keys (nbatch, budget) sorted per row, chans 4 x (nbatch, budget),
+    counts (nbatch,) live pairs) — the batched equivalent of
+    `compact_channels` output for each pass.
+    """
+    from .ops.pass_fused import fused_pass_batch_pallas
+
+    R = budget // expand
+    rows_b = jnp.stack(
+        [
+            jax.lax.dynamic_slice(tableT, (0, r0s[i]), (24, R))
+            for i in range(nbatch)
+        ]
+    )  # (B, 24, R)
+
+    # per-row voxel AABB, identical float ops to _bucket_pass / host planner
+    tmin_a, size_a = [], []
+    for a in range(3):
+        va = jnp.minimum(jnp.minimum(rows_b[:, a], rows_b[:, a + 3]), rows_b[:, a + 6])
+        vb = jnp.maximum(jnp.maximum(rows_b[:, a], rows_b[:, a + 3]), rows_b[:, a + 6])
+        lo = jnp.int32(0) if a < 2 else z_los[:, None]
+        hi = stride if a < 2 else z_his[:, None]
+        t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), lo, hi)
+        t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, lo, hi)
+        tmin_a.append(t_lo)
+        size_a.append(jnp.maximum(t_hi - t_lo, 0))
+    sx = jnp.maximum(size_a[0], 1)
+    sy = jnp.maximum(size_a[1], 1)
+    vol = size_a[0] * size_a[1] * size_a[2]
+    row_live = jnp.arange(R, dtype=jnp.int32)[None, :] < n_rows_s[:, None]
+    vol = jnp.where(row_live, vol, 0)
+
+    aug8 = jnp.stack(
+        [tmin_a[0], tmin_a[1], tmin_a[2], sx, sy, vol,
+         jnp.zeros_like(vol), jnp.zeros_like(vol)],
+        axis=1,
+    ).astype(jnp.float32)  # (B, 8, R)
+    data32 = jnp.concatenate([rows_b, aug8], axis=1)  # (B, 32, R)
+    data32 = data32.transpose(1, 0, 2).reshape(32, nbatch * R)
+    scal = jnp.stack(
+        [local_bases, z_los,
+         jnp.broadcast_to(jnp.asarray(stride, jnp.int32), local_bases.shape)],
+        axis=1,
+    )
+    key, w, wr, wg, wb = fused_pass_batch_pallas(
+        data32, scal,
+        expand=expand, budget=budget, nbatch=nbatch,
+        textured=False, ref_weights=ref_weights,
+        interpret=not use_pallas,
+    )
+    # batched compact (one stable 5-operand sort over (B, budget); see
+    # ops/combine.compact_channels for why multi-pass slabs compact only)
+    sk, schans = sort_channels(key, (w, wr, wg, wb))
+    counts = jnp.sum((sk != INVALID_KEY).astype(jnp.int32), axis=-1)
+    return sk, schans, counts
+
+
+@functools.partial(
     jax.jit, static_argnames=("stride", "do_downscale", "budget", "use_kernel")
 )
 def _merge_pass(keys, chans, z_lo, is_blend, *, stride, do_downscale, budget,
@@ -486,7 +577,7 @@ def _merge_keys(keys, chans, is_blend, *, budget, use_kernel=False):
 _ASM_CACHE: dict = {}
 
 
-def _make_assembler(budgets, pad_to):
+def _make_assembler(shapes, pad_to):
     """One-dispatch dense concat of compacted pass outputs.
 
     Replaces per-chunk host slicing (`keys[:p2]` — 5 device ops per pass,
@@ -495,24 +586,35 @@ def _make_assembler(budgets, pad_to):
     FULL sorted buffer is written at its cumulative-live-count offset with
     dynamic_update_slice, in chunk order, so chunk i+1's write overwrites
     chunk i's INVALID/zero tail and the result is the exact dense
-    concatenation of the live prefixes.  The buffer carries max(budgets)
+    concatenation of the live prefixes.  The buffer carries max budget
     slack so the last full-size write never clamps; offsets are traced, so
-    one compiled program serves every wave with the same chunk shapes."""
-    key = (tuple(budgets), pad_to)
+    one compiled program serves every wave with the same chunk shapes.
+
+    shapes: per-chunk keys shape — (P,) for single-pass buffers or (B, P)
+    for rows of a batched `_bucket_pass_batch` output (the row index arrives
+    traced in `rows`, so batch membership costs no extra programs)."""
+    key = (tuple(shapes), pad_to)
     fn = _ASM_CACHE.get(key)
     if fn is not None:
         return fn
-    size = pad_to + max(budgets)
+    size = pad_to + max(s[-1] for s in shapes)
 
     @jax.jit
-    def asm(offsets, ks, chs):
+    def asm(offsets, rows, ks, chs):
         buf_k = jnp.full((size,), INVALID_KEY, jnp.int32)
         buf_c = [jnp.zeros((size,), jnp.float32) for _ in range(4)]
         for i, k in enumerate(ks):
             off = offsets[i]
+            ch = chs[i]
+            if k.ndim == 2:
+                k = jax.lax.dynamic_index_in_dim(k, rows[i], 0, keepdims=False)
+                ch = [
+                    jax.lax.dynamic_index_in_dim(c, rows[i], 0, keepdims=False)
+                    for c in ch
+                ]
             buf_k = jax.lax.dynamic_update_slice(buf_k, k, (off,))
             for j in range(4):
-                buf_c[j] = jax.lax.dynamic_update_slice(buf_c[j], chs[i][j], (off,))
+                buf_c[j] = jax.lax.dynamic_update_slice(buf_c[j], ch[j], (off,))
         return buf_k[:pad_to], tuple(c[:pad_to] for c in buf_c)
 
     _ASM_CACHE[key] = fn = asm
@@ -520,25 +622,30 @@ def _make_assembler(budgets, pad_to):
 
 
 def _assemble_outputs(chunk, pad_to):
-    """chunk: list of (keys (B_i,), chans 4-tuple, live_count) with each
-    buffer compacted (live prefix, INVALID/zero tail).  Returns the dense
-    (pad_to,) concat of the live prefixes, INVALID/zero padded."""
-    budgets = [k.shape[0] for k, _, _ in chunk]
+    """chunk: list of (keys, chans 4-tuple, live_count[, batch_row]) with each
+    buffer compacted (live prefix, INVALID/zero tail); keys is (P,) or (B, P)
+    with batch_row selecting the row.  Returns the dense (pad_to,) concat of
+    the live prefixes, INVALID/zero padded."""
+    shapes = [item[0].shape for item in chunk]
     offs = np.zeros(len(chunk), np.int64)
-    np.cumsum([c for _, _, c in chunk[:-1]], out=offs[1:])
-    asm = _make_assembler(budgets, pad_to)
+    np.cumsum([item[2] for item in chunk[:-1]], out=offs[1:])
+    rows = np.asarray(
+        [item[3] if len(item) > 3 else 0 for item in chunk], np.int32
+    )
+    asm = _make_assembler(shapes, pad_to)
     return asm(
         jnp.asarray(offs, jnp.int32),
-        [k for k, _, _ in chunk],
-        [ch for _, ch, _ in chunk],
+        jnp.asarray(rows),
+        [item[0] for item in chunk],
+        [item[1] for item in chunk],
     )
 
 
 def _fold_outputs(chunk, is_blend, use_pallas):
-    """Merge a chunk of compacted (keys, chans, count) outputs into one
-    full-buffer compacted output (kept unsliced; the live count rides
-    along)."""
-    rows = sum(c for _, _, c in chunk)
+    """Merge a chunk of compacted output entries (same entry layout as
+    `_assemble_outputs`) into one full-buffer compacted output (kept
+    unsliced; the live count rides along)."""
+    rows = sum(item[2] for item in chunk)
     pad_to = next((b for b in MERGE_LADDER if b >= rows), _pow2_at_least(rows))
     cat_keys, cat_chans = _assemble_outputs(chunk, pad_to)
     keys, chans, count = _merge_keys(
@@ -871,12 +978,30 @@ def stream_slabs(
     # with the merge buffers on top.  Tune down for huge meshes via env.
     CAP_ROWS = int(_os.environ.get("O2V_WAVE_CAP", 1 << 27))
 
+    # Same-shape passes from multi-pass slabs batch into one dispatch
+    # (_bucket_pass_batch): the fused kernel runs grid=(B, blocks) and the
+    # compaction is one batched sort, amortizing the ~6 ms per-dispatch floor.
+    # Device-only by default (the CPU oracle path would run the fused kernel
+    # in interpret mode); O2V_BATCH_FORCE=1 lets tests exercise it on CPU.
+    from .ops.pass_fused import BLOCK as _FUSED_BLOCK
+
+    WAVE_STATS.update(passes=0, dispatches=0, batched=0)
+    batch_cap = int(_os.environ.get("O2V_BATCH", 8))
+    can_batch = (
+        batch_cap > 1
+        and pixels.shape[0] == 1
+        and _os.environ.get("O2V_FUSED") != "0"
+        and (use_pallas or _os.environ.get("O2V_BATCH_FORCE") == "1")
+    )
+
     slab_list = list(by_slab.items())
     i = 0
     while i < len(slab_list):
         _t1 = _time.perf_counter()
         wave = []
         wave_rows = 0
+        batchable: dict[tuple[int, int], list] = {}
+        direct = []
         while i < len(slab_list) and (not wave or wave_rows < CAP_ROWS):
             (z_lo, z_hi), slab_segs = slab_list[i]
             i += 1
@@ -884,53 +1009,129 @@ def stream_slabs(
             multi = len(passes) > 1
             st = {
                 "z_lo": z_lo, "z_hi": z_hi, "n": len(passes),
-                "handles": [], "outputs": [], "final": None,
+                "handles": [None] * len(passes), "outputs": [], "final": None,
             }
-            for expand, budget, r0, n_rows, local_base, wide_local in passes:
-                handle = _bucket_pass(
-                    tableT,
-                    pixels,
-                    meta,
-                    jnp.int32(r0),
-                    jnp.int32(n_rows),
-                    jnp.int32(local_base),
-                    jnp.int32(z_lo),
-                    jnp.int32(z_hi),
-                    jnp.int32(sample_res),
-                    jnp.bool_(is_blend),
-                    # with several passes downscaling must wait for the merge
-                    jnp.bool_(do_down and not multi),
-                    expand=expand,
-                    budget=budget,
-                    use_pallas=use_pallas,
-                    ref_weights=ref_weights,
-                    wide_local=wide_local,
-                    finalize=not multi,
-                )
-                st["handles"].append(handle)
+            for pi, desc in enumerate(passes):
+                expand, budget, r0, n_rows, local_base, wide_local = desc
+                # budget must satisfy the fused kernel's block constraint
+                # (tests force tiny budgets below pass_fused.BLOCK)
+                if (
+                    can_batch and multi and not wide_local
+                    and budget % _FUSED_BLOCK == 0
+                ):
+                    batchable.setdefault((expand, budget), []).append(
+                        (st, pi, r0, n_rows, local_base, z_lo, z_hi)
+                    )
+                else:
+                    direct.append((st, pi, desc, multi, z_lo, z_hi))
                 wave_rows += budget
             wave.append(st)
 
-        # one batched counts pull for every pass in the wave
-        flat = [(st, h) for st in wave for h in st["handles"]]
-        counts = np.asarray(jnp.stack([h[4] for _, h in flat]))
+        count_parts = []  # per-dispatch count scalars/vectors, pulled as one
+
+        for st, pi, desc, multi, z_lo, z_hi in direct:
+            expand, budget, r0, n_rows, local_base, wide_local = desc
+            handle = _bucket_pass(
+                tableT,
+                pixels,
+                meta,
+                jnp.int32(r0),
+                jnp.int32(n_rows),
+                jnp.int32(local_base),
+                jnp.int32(z_lo),
+                jnp.int32(z_hi),
+                jnp.int32(sample_res),
+                jnp.bool_(is_blend),
+                # with several passes downscaling must wait for the merge
+                jnp.bool_(do_down and not multi),
+                expand=expand,
+                budget=budget,
+                use_pallas=use_pallas,
+                ref_weights=ref_weights,
+                wide_local=wide_local,
+                finalize=not multi,
+            )
+            st["handles"][pi] = ("s", handle, len(count_parts))
+            count_parts.append(jnp.reshape(handle[4], (1,)))
+
+        n_batched = 0
+        for (expand, budget), items in sorted(batchable.items()):
+            j = 0
+            while j < len(items):
+                B = 1
+                for cand in (8, 4, 2):
+                    if cand <= batch_cap and j + cand <= len(items):
+                        B = cand
+                        break
+                chunk = items[j:j + B]
+                j += B
+                if B == 1:
+                    st, pi, r0, n_rows, local_base, z_lo, z_hi = chunk[0]
+                    handle = _bucket_pass(
+                        tableT, pixels, meta,
+                        jnp.int32(r0), jnp.int32(n_rows), jnp.int32(local_base),
+                        jnp.int32(z_lo), jnp.int32(z_hi), jnp.int32(sample_res),
+                        jnp.bool_(is_blend), jnp.bool_(False),
+                        expand=expand, budget=budget, use_pallas=use_pallas,
+                        ref_weights=ref_weights, wide_local=False,
+                        finalize=False,
+                    )
+                    st["handles"][pi] = ("s", handle, len(count_parts))
+                    count_parts.append(jnp.reshape(handle[4], (1,)))
+                    continue
+                arrs = np.asarray(
+                    [(r0, nr, lb, zl, zh) for _, _, r0, nr, lb, zl, zh in chunk],
+                    np.int32,
+                )
+                bh = _bucket_pass_batch(
+                    tableT,
+                    jnp.asarray(arrs[:, 0]), jnp.asarray(arrs[:, 1]),
+                    jnp.asarray(arrs[:, 2]), jnp.asarray(arrs[:, 3]),
+                    jnp.asarray(arrs[:, 4]), jnp.int32(sample_res),
+                    expand=expand, budget=budget, nbatch=B,
+                    use_pallas=use_pallas, ref_weights=ref_weights,
+                )
+                base = len(count_parts)
+                count_parts.append(bh[2])
+                for b, (st, pi, *_rest) in enumerate(chunk):
+                    st["handles"][pi] = ("b", bh, base, b)
+                n_batched += B
+
+        WAVE_STATS["passes"] += sum(st["n"] for st in wave)
+        WAVE_STATS["dispatches"] += len(count_parts)
+        WAVE_STATS["batched"] += n_batched
+
+        # one batched counts pull for every dispatch in the wave
+        part_offs = np.zeros(len(count_parts) + 1, np.int64)
+        np.cumsum([p.shape[0] for p in count_parts], out=part_offs[1:])
+        counts = np.asarray(jnp.concatenate(count_parts))
         if timing:
             _t2 = _time.perf_counter()
             print(
-                f"[o2v-timing]   wave: {len(wave)} slabs {len(flat)} passes "
+                f"[o2v-timing]   wave: {len(wave)} slabs "
+                f"{sum(st['n'] for st in wave)} passes "
+                f"({len(count_parts)} dispatches, {n_batched} batched) "
                 f"{(_t2 - _t1) * 1000:.0f}ms counts={counts.tolist()}",
                 flush=True,
             )
             _t1 = _t2
-        for (st, (keys, chans, xyz, argb, _)), c in zip(flat, counts):
-            c = int(c)
-            if st["n"] == 1:
-                st["final"] = (xyz, argb, c)
-            elif c:
-                # keep the FULL compacted buffer; the merge assembler packs
-                # live prefixes in one dispatch (host slicing here measured
-                # ~2.5 ms/op through the relay, ~430 ms per 34-pass wave)
-                st["outputs"].append((keys, chans, c))
+        for st in wave:
+            for tag in st["handles"]:
+                if tag[0] == "s":
+                    _, (keys, chans, xyz, argb, _c), d = tag
+                    c = int(counts[part_offs[d]])
+                    if st["n"] == 1:
+                        st["final"] = (xyz, argb, c)
+                    elif c:
+                        # keep the FULL compacted buffer; the merge assembler
+                        # packs live prefixes in one dispatch (host slicing
+                        # here measured ~2.5 ms/op through the relay)
+                        st["outputs"].append((keys, chans, c))
+                else:
+                    _, (keys2, chans2, _cs), d, b = tag
+                    c = int(counts[part_offs[d] + b])
+                    if c:
+                        st["outputs"].append((keys2, chans2, c, b))
 
         # dispatch the device-side slab merges (hierarchical fold for slabs
         # whose compacted outputs exceed the top merge rung; the round-1 host
@@ -941,8 +1142,8 @@ def stream_slabs(
                 merged.append((st, None))
                 continue
             pass_outputs = st["outputs"]
-            while sum(c for _, _, c in pass_outputs) > MERGE_LADDER[-1]:
-                before = sum(c for _, _, c in pass_outputs)
+            while sum(item[2] for item in pass_outputs) > MERGE_LADDER[-1]:
+                before = sum(item[2] for item in pass_outputs)
                 folded, chunk, rows = [], [], 0
                 for item in pass_outputs:
                     if rows and rows + item[2] > MERGE_LADDER[-1]:
@@ -955,13 +1156,13 @@ def stream_slabs(
                 if chunk:
                     folded.append(_fold_outputs(chunk, is_blend, use_pallas))
                 pass_outputs = folded
-                if sum(c for _, _, c in pass_outputs) >= before:
+                if sum(item[2] for item in pass_outputs) >= before:
                     # > 2^25 distinct live voxels in one slab: folding cannot
                     # shrink further; fall through to one oversized merge
                     # instead of re-dispatching identical folds forever
                     break
 
-            total_rows = sum(c for _, _, c in pass_outputs)
+            total_rows = sum(item[2] for item in pass_outputs)
             merge_pad = next((b for b in MERGE_LADDER if b >= total_rows),
                              _pow2_at_least(total_rows))
             cat_keys, cat_chans = _assemble_outputs(pass_outputs, merge_pad)

@@ -98,10 +98,11 @@ def _divmod_f(lf, sf):
 
 def _make_kernel(expand, textured, ref_weights):
     def kernel(scal_ref, rows_ref, key_ref, w_ref, a_ref, b_ref, c_ref):
-        i = pl.program_id(0)
-        local_base = scal_ref[0]
-        z_lo = scal_ref[1]
-        stride = scal_ref[2]
+        b = pl.program_id(0)  # batch element (pass index within the batch)
+        i = pl.program_id(1)  # block within the pass
+        local_base = scal_ref[b, 0]
+        z_lo = scal_ref[b, 1]
+        stride = scal_ref[b, 2]
 
         rows = rows_ref[...]
         if expand <= 128:  # (C, 1, SUB, K') block from the 4-D layout
@@ -152,20 +153,93 @@ def _make_kernel(expand, textured, ref_weights):
         vz = vzf.astype(jnp.int32)
         key = (vz - z_lo) * (stride * stride) + vy * stride + vx
         live = w > 0
-        key_ref[...] = jnp.where(live, key, _INV)
-        w_ref[...] = w
+        key_ref[0] = jnp.where(live, key, _INV)
+        w_ref[0] = w
         if textured:
             # colors need the texture-pool gather; emit UVs for the XLA
             # sampling epilogue instead of premultiplied rgb
-            a_ref[...] = uv_u
-            b_ref[...] = uv_v
-            c_ref[...] = jnp.zeros_like(w)
+            a_ref[0] = uv_u
+            b_ref[0] = uv_v
+            c_ref[0] = jnp.zeros_like(w)
         else:
-            a_ref[...] = w * e[17]
-            b_ref[...] = w * e[18]
-            c_ref[...] = w * e[19]
+            a_ref[0] = w * e[17]
+            b_ref[0] = w * e[18]
+            c_ref[0] = w * e[19]
 
     return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "expand", "budget", "nbatch", "textured", "ref_weights", "interpret",
+    ),
+)
+def fused_pass_batch_pallas(
+    data32,
+    scal,
+    *,
+    expand,
+    budget,
+    nbatch,
+    textured=False,
+    ref_weights=False,
+    interpret=False,
+):
+    """Run `nbatch` same-shape passes in ONE kernel dispatch.
+
+    data32: (32, nbatch * R) f32, R = budget // expand — the nbatch per-pass
+    row slices concatenated along the row axis (channel layout above).
+    scal:   (nbatch, 3) int32 per-pass (local_base, z_lo, stride).
+    Returns (key, w, a, b, c) each (nbatch, budget).
+
+    Batching amortizes the per-dispatch floor (~6 ms through the relay) that
+    dominated short passes: grid = (nbatch, blocks) runs the same program as
+    the single-pass kernel with per-pass scalars read from SMEM row b.
+    """
+    assert budget % BLOCK == 0 and budget // BLOCK >= 1, budget
+    assert expand <= budget and data32.shape[1] == nbatch * (budget // expand)
+    nblocks = budget // BLOCK
+
+    if expand <= 128:
+        K = 128 // expand
+        rows3 = data32.reshape(32, nbatch * nblocks, SUB, K)
+        rows_spec = pl.BlockSpec(
+            (32, 1, SUB, K),
+            lambda b, i: (0, b * nblocks + i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # Mosaic requires the last two block dims to divide (8, 128) or equal
+        # the array dims; (32, 1, 1, RB) blocks over a 4-D layout satisfy that
+        # for any RB
+        RB = max(BLOCK // expand, 1)
+        rows3 = data32.reshape(32, -1, 1, RB)
+        step = max(expand // BLOCK, 1)
+        bpp = rows3.shape[1] // nbatch  # row-blocks per pass
+        rows_spec = pl.BlockSpec(
+            (32, 1, 1, RB),
+            (lambda b, i: (0, b * bpp + i // step, 0, 0)) if step > 1
+            else (lambda b, i: (0, b * bpp + i, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_spec = pl.BlockSpec(
+        (1, SUB, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((nbatch, budget // 128, 128), jnp.float32)
+    outs = pl.pallas_call(
+        _make_kernel(expand, textured, ref_weights),
+        grid=(nbatch, nblocks),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rows_spec],
+        out_specs=(out_spec,) * 5,
+        out_shape=(
+            jax.ShapeDtypeStruct((nbatch, budget // 128, 128), jnp.int32),
+            shape, shape, shape, shape,
+        ),
+        interpret=interpret,
+    )(scal, rows3)
+    return tuple(o.reshape(nbatch, budget) for o in outs)
 
 
 @functools.partial(
@@ -184,54 +258,22 @@ def fused_pass_pallas(
     ref_weights=False,
     interpret=False,
 ):
-    """Run one fused pass.
+    """Run one fused pass (nbatch=1 wrapper around the batched kernel).
 
     data32: (32, R) f32 with R = budget // expand (channel layout above).
     Returns (key (P,) i32, w, a, b, c (P,) f32) with P = budget;
     (a, b, c) = premultiplied rgb, or (u, v, 0) when textured.
     """
-    assert budget % BLOCK == 0 and budget // BLOCK >= 1, budget
-    assert expand <= budget and data32.shape[1] == budget // expand
-    nblocks = budget // BLOCK
-
-    if expand <= 128:
-        K = 128 // expand
-        rows3 = data32.reshape(32, nblocks, SUB, K)
-        rows_spec = pl.BlockSpec(
-            (32, 1, SUB, K), lambda i: (0, i, 0, 0), memory_space=pltpu.VMEM
-        )
-    else:
-        # Mosaic requires the last two block dims to divide (8, 128) or equal
-        # the array dims; (32, 1, 1, RB) blocks over a 4-D layout satisfy that
-        # for any RB
-        RB = max(BLOCK // expand, 1)
-        rows3 = data32.reshape(32, -1, 1, RB)
-        step = max(expand // BLOCK, 1)
-        rows_spec = pl.BlockSpec(
-            (32, 1, 1, RB),
-            (lambda i: (0, i // step, 0, 0)) if step > 1
-            else (lambda i: (0, i, 0, 0)),
-            memory_space=pltpu.VMEM,
-        )
-
     scal = jnp.stack(
         [
             jnp.asarray(local_base, jnp.int32),
             jnp.asarray(z_lo, jnp.int32),
             jnp.asarray(stride, jnp.int32),
         ]
+    )[None]
+    outs = fused_pass_batch_pallas(
+        data32, scal,
+        expand=expand, budget=budget, nbatch=1,
+        textured=textured, ref_weights=ref_weights, interpret=interpret,
     )
-    out_spec = pl.BlockSpec((SUB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((budget // 128, 128), jnp.float32)
-    outs = pl.pallas_call(
-        _make_kernel(expand, textured, ref_weights),
-        grid=(nblocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rows_spec],
-        out_specs=(out_spec,) * 5,
-        out_shape=(
-            jax.ShapeDtypeStruct((budget // 128, 128), jnp.int32),
-            shape, shape, shape, shape,
-        ),
-        interpret=interpret,
-    )(scal, rows3)
     return tuple(o.reshape(budget) for o in outs)

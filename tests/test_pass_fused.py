@@ -99,3 +99,59 @@ def test_fused_ref_weights_mode():
                       ref_weights=True)
     np.testing.assert_array_equal(k0, k1)
     np.testing.assert_allclose(v0, v1, rtol=5e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("expand", [8, 512])
+def test_batched_pass_matches_single(expand):
+    """_bucket_pass_batch == per-pass _bucket_pass(fused=True, finalize=False).
+
+    Keys/counts must be bit-exact (integer math); channels to float tolerance
+    (XLA CPU contracts mul+add chains differently at (1, ...) vs (B, ...)
+    shapes -- same ulp-level divergence as the fused-vs-XLA comparison above;
+    probes/profile_batch.py repeats this on the real chip)."""
+    from obj2voxel_tpu.engine import _bucket_pass_batch
+
+    B = 4
+    R = BUDGET // expand
+    span = {8: 1.2, 512: 6.0}[expand]
+    tableT = _table(B * R + 32, 64, span, seed=100 + expand)
+    pixels = jnp.zeros(1, jnp.uint32)
+    meta = jnp.zeros((1, 4), jnp.int32)
+    res = 64
+
+    # B passes over different row windows and z slabs (z windows exercise the
+    # per-pass clamp; rows outside a window die via vol=0)
+    r0s = np.arange(B, dtype=np.int32) * R
+    n_rows = np.array([R, R - 5, R, R - 1], np.int32)
+    local_bases = np.zeros(B, np.int32)
+    z_los = np.array([0, 16, 32, 48], np.int32)
+    z_his = np.array([16, 32, 48, 64], np.int32)
+
+    bk, bchans, bcounts = _bucket_pass_batch(
+        tableT,
+        jnp.asarray(r0s), jnp.asarray(n_rows), jnp.asarray(local_bases),
+        jnp.asarray(z_los), jnp.asarray(z_his), jnp.int32(res),
+        expand=expand, budget=BUDGET, nbatch=B, use_pallas=False,
+    )
+    bk = np.asarray(bk)
+    bcounts = np.asarray(bcounts)
+    bchans = [np.asarray(c) for c in bchans]
+
+    covered = 0
+    for b in range(B):
+        keys, chans, _, _, count = _bucket_pass(
+            tableT, pixels, meta,
+            jnp.int32(r0s[b]), jnp.int32(n_rows[b]), jnp.int32(0),
+            jnp.int32(z_los[b]), jnp.int32(z_his[b]), jnp.int32(res),
+            jnp.bool_(False), jnp.bool_(False),
+            expand=expand, budget=BUDGET, use_pallas=False,
+            fused=True, finalize=False,
+        )
+        assert int(count) == int(bcounts[b])
+        np.testing.assert_array_equal(np.asarray(keys), bk[b])
+        for ch, bc in zip(chans, bchans):
+            np.testing.assert_allclose(
+                np.asarray(ch), bc[b], rtol=5e-5, atol=1e-5
+            )
+        covered += int(count)
+    assert covered > 0

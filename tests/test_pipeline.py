@@ -155,3 +155,49 @@ def test_memory_output_byte_count(cube_tris, pair_tile):
     data = inst.get_output_memory()
     assert data is not None
     assert len(data) == expected_unit_cube_voxels(r) * 16
+
+
+def test_batched_dispatch_equivalence(monkeypatch):
+    """O2V_BATCH_FORCE=1 (batched fused dispatches) == unbatched output.
+
+    Voxel sets must match exactly; colors to ±1 byte (the batched and single
+    programs contract float chains differently on CPU -- same tolerance as
+    the fused-vs-XLA oracle in test_pass_fused.py)."""
+    import obj2voxel_tpu.engine as eng
+
+    # translated copies of one triangle, integer offsets: every row keeps the
+    # same fractional grid alignment, so all rows land in ONE expand bucket
+    # (one kernel compile) and slabs need several passes at budget 2^14
+    rng = np.random.RandomState(7)
+    base = np.array(
+        [[0.2, 0.2, 0.3], [1.4, 0.3, 0.4], [0.3, 1.4, 1.3]], np.float32
+    )
+    offs = rng.randint(0, 60, size=(6000, 1, 3)).astype(np.float32)
+    tris = base[None] + offs
+    soup = TriangleSoup.from_vertices(tris.reshape(-1, 3, 3))
+    bounds = (np.zeros(3, np.float32), np.full(3, 62.0, np.float32))
+
+    def run():
+        out = {}
+        for xyz, argb in voxelize_soup(
+            soup, resolution=64, pair_tile=1 << 14, bounds=bounds
+        ):
+            for row, c in zip(xyz, argb):
+                out[tuple(row)] = int(c)
+        return out
+
+    monkeypatch.setenv("O2V_BATCH", "0")
+    base_out = run()
+    monkeypatch.setenv("O2V_BATCH", "8")
+    monkeypatch.setenv("O2V_BATCH_FORCE", "1")
+    batched_out = run()
+    assert eng.WAVE_STATS["batched"] >= 2, eng.WAVE_STATS
+    assert eng.WAVE_STATS["dispatches"] < eng.WAVE_STATS["passes"]
+
+    assert set(base_out) == set(batched_out)
+    db = np.abs(
+        np.array(list(base_out.values()), np.int64).view(np.uint8).astype(np.int16)
+        - np.array([batched_out[k] for k in base_out], np.int64)
+        .view(np.uint8).astype(np.int16)
+    )
+    assert db.max() <= 1
