@@ -57,6 +57,7 @@ import numpy as np
 
 from .constants import BLEND_STRATEGY, MAX_STRATEGY, PAIR_TILE, TRI_MATERIALLESS
 from .geometry import compute_mesh_transform, mesh_bounds
+from .utils import debug as _dbg
 from .utils.log import log as _log
 from .ops.clip import clip_channels
 from .ops.clip_pallas import clip_pairs_pallas
@@ -1120,6 +1121,8 @@ def stream_slabs(
                 if tag[0] == "s":
                     _, (keys, chans, xyz, argb, _c), d = tag
                     c = int(counts[part_offs[d]])
+                    if _dbg.DEBUG:
+                        _dbg.check_count(c, keys.shape[0], "pass")
                     if st["n"] == 1:
                         st["final"] = (xyz, argb, c)
                     elif c:
@@ -1130,6 +1133,8 @@ def stream_slabs(
                 else:
                     _, (keys2, chans2, _cs), d, b = tag
                     c = int(counts[part_offs[d] + b])
+                    if _dbg.DEBUG:
+                        _dbg.check_count(c, keys2.shape[-1], "batched pass")
                     if c:
                         st["outputs"].append((keys2, chans2, c, b))
 
@@ -1201,6 +1206,16 @@ def stream_slabs(
                 f"Voxelized slab z[{st['z_lo']},{st['z_hi']}) "
                 f"p:{st['n']} -> {count}"
             )
+            if _dbg.DEBUG:
+                _half = 2 if do_down else 1
+                _dbg.check_count(count, xyz.shape[0], "merge")
+                _dbg.check_slab_output(
+                    xyz, argb, count,
+                    res_xy=sample_res // _half,
+                    z_extent=z_extent // _half,
+                    z_lo=st["z_lo"] // _half,
+                    z_hi=st["z_hi"] // _half,
+                )
             if count:
                 if device_outputs:
                     yield xyz, argb, count

@@ -35,6 +35,31 @@ def rss_gb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
 
 
+def start_rss_sampler(path: str, period_s: float = 0.5):
+    """Sample current RSS (from /proc/self/statm) to `path` until exit.
+
+    ru_maxrss only gives the peak; attributing the peak to a pipeline stage
+    needs the timeline.  Lines are `t_rel_s current_rss_gb`; align them with
+    the O2V_TIMING stage logs (same process, same clock) to build the
+    config-4 memory breakdown in BASELINE.md."""
+    import threading
+
+    page = os.sysconf("SC_PAGE_SIZE")
+    f = open(path, "w", buffering=1)
+    t0 = time.perf_counter()
+
+    def loop():
+        while True:
+            with open("/proc/self/statm") as s:
+                rss = int(s.read().split()[1]) * page
+            f.write(f"{time.perf_counter() - t0:.2f} {rss / 1e9:.3f}\n")
+            time.sleep(period_s)
+
+    th = threading.Thread(target=loop, daemon=True)
+    th.start()
+    return th
+
+
 def write_stl(path: str, tris: np.ndarray):
     n = tris.shape[0]
     rec = np.zeros(n, dtype=np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)), ("a", "<u2")]))
@@ -172,6 +197,10 @@ def config6():
 
 
 if __name__ == "__main__":
+    if "--trace" in sys.argv:
+        sys.argv.remove("--trace")
+        os.environ["O2V_TIMING"] = "1"
+        start_rss_sampler("/tmp/o2v_rss_trace.log")
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("4", "both", "all"):
         config4()
