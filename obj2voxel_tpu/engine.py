@@ -307,35 +307,15 @@ def _bucket_pass(
     R = budget // expand
     rowsT = jax.lax.dynamic_slice(tableT, (0, r0), (24, R))
 
-    # per-row voxel AABB, clamped to the grid in x/y and to the slab in z;
-    # identical float ops to the host planner so counts match exactly
-    tmin_a, size_a = [], []
-    his = (stride, stride, z_hi)
-    los = (jnp.int32(0), jnp.int32(0), z_lo)
-    for a in range(3):
-        va = jnp.minimum(jnp.minimum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
-        vb = jnp.maximum(jnp.maximum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
-        t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), los[a], his[a])
-        t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, los[a], his[a])
-        tmin_a.append(t_lo)
-        size_a.append(jnp.maximum(t_hi - t_lo, 0))
-    sx = jnp.maximum(size_a[0], 1)
-    sy = jnp.maximum(size_a[1], 1)
-    vol = size_a[0] * size_a[1] * size_a[2]
-    row_live = jnp.arange(R, dtype=jnp.int32) < n_rows
-    vol = jnp.where(row_live, vol, 0)
-
     if fused:
+        # the per-row AABB/volume prologue runs IN-KERNEL (pass_fused.py):
+        # assembling the (32, R) aug buffer in XLA measured ~9 ms per
+        # 2^21-slot pass at expand=8 (probes/profile_batch.py), more than
+        # double the 3.9 ms kernel itself
         from .ops.pass_fused import fused_pass_pallas
 
-        aug8 = jnp.stack(
-            [tmin_a[0], tmin_a[1], tmin_a[2], sx, sy, vol,
-             jnp.zeros_like(vol), jnp.zeros_like(vol)],
-            axis=0,
-        ).astype(jnp.float32)
-        data32 = jnp.concatenate([rowsT, aug8], axis=0)
         key, w, wr, wg, wb = fused_pass_pallas(
-            data32, local_base, z_lo, stride,
+            rowsT, local_base, z_lo, stride, z_hi, n_rows,
             expand=expand, budget=budget,
             textured=False, ref_weights=ref_weights,
             interpret=not use_pallas,
@@ -352,6 +332,25 @@ def _bucket_pass(
             combined, stride, z_lo, is_blend, do_downscale,
             use_kernel=use_pallas, finalize=finalize,
         )
+
+    # per-row voxel AABB, clamped to the grid in x/y and to the slab in z;
+    # identical float ops to the host planner (and to the fused kernel's
+    # in-kernel prologue) so counts match exactly
+    tmin_a, size_a = [], []
+    his = (stride, stride, z_hi)
+    los = (jnp.int32(0), jnp.int32(0), z_lo)
+    for a in range(3):
+        va = jnp.minimum(jnp.minimum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
+        vb = jnp.maximum(jnp.maximum(rowsT[a], rowsT[a + 3]), rowsT[a + 6])
+        t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), los[a], his[a])
+        t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, los[a], his[a])
+        tmin_a.append(t_lo)
+        size_a.append(jnp.maximum(t_hi - t_lo, 0))
+    sx = jnp.maximum(size_a[0], 1)
+    sy = jnp.maximum(size_a[1], 1)
+    vol = size_a[0] * size_a[1] * size_a[2]
+    row_live = jnp.arange(R, dtype=jnp.int32) < n_rows
+    vol = jnp.where(row_live, vol, 0)
 
     def expand_rows(x):
         """(C, R) -> (C, budget): each row repeated `expand` times.
@@ -488,44 +487,24 @@ def _bucket_pass_batch(
     from .ops.pass_fused import fused_pass_batch_pallas
 
     R = budget // expand
-    rows_b = jnp.stack(
+    # lane-axis concat of the per-pass row slices; the AABB/volume prologue
+    # runs in-kernel (the old (B, 32, R) assemble + transpose relayout
+    # measured 73 ms per 8 x 2^18-row batch, probes/profile_batch.py)
+    rows_cat = jnp.concatenate(
         [
             jax.lax.dynamic_slice(tableT, (0, r0s[i]), (24, R))
             for i in range(nbatch)
-        ]
-    )  # (B, 24, R)
-
-    # per-row voxel AABB, identical float ops to _bucket_pass / host planner
-    tmin_a, size_a = [], []
-    for a in range(3):
-        va = jnp.minimum(jnp.minimum(rows_b[:, a], rows_b[:, a + 3]), rows_b[:, a + 6])
-        vb = jnp.maximum(jnp.maximum(rows_b[:, a], rows_b[:, a + 3]), rows_b[:, a + 6])
-        lo = jnp.int32(0) if a < 2 else z_los[:, None]
-        hi = stride if a < 2 else z_his[:, None]
-        t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), lo, hi)
-        t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, lo, hi)
-        tmin_a.append(t_lo)
-        size_a.append(jnp.maximum(t_hi - t_lo, 0))
-    sx = jnp.maximum(size_a[0], 1)
-    sy = jnp.maximum(size_a[1], 1)
-    vol = size_a[0] * size_a[1] * size_a[2]
-    row_live = jnp.arange(R, dtype=jnp.int32)[None, :] < n_rows_s[:, None]
-    vol = jnp.where(row_live, vol, 0)
-
-    aug8 = jnp.stack(
-        [tmin_a[0], tmin_a[1], tmin_a[2], sx, sy, vol,
-         jnp.zeros_like(vol), jnp.zeros_like(vol)],
+        ],
         axis=1,
-    ).astype(jnp.float32)  # (B, 8, R)
-    data32 = jnp.concatenate([rows_b, aug8], axis=1)  # (B, 32, R)
-    data32 = data32.transpose(1, 0, 2).reshape(32, nbatch * R)
+    )  # (24, B * R)
     scal = jnp.stack(
         [local_bases, z_los,
-         jnp.broadcast_to(jnp.asarray(stride, jnp.int32), local_bases.shape)],
+         jnp.broadcast_to(jnp.asarray(stride, jnp.int32), local_bases.shape),
+         z_his, n_rows_s],
         axis=1,
     )
     key, w, wr, wg, wb = fused_pass_batch_pallas(
-        data32, scal,
+        rows_cat, scal,
         expand=expand, budget=budget, nbatch=nbatch,
         textured=False, ref_weights=ref_weights,
         interpret=not use_pallas,
@@ -987,7 +966,13 @@ def stream_slabs(
     from .ops.pass_fused import BLOCK as _FUSED_BLOCK
 
     WAVE_STATS.update(passes=0, dispatches=0, batched=0)
-    batch_cap = int(_os.environ.get("O2V_BATCH", 8))
+    # Batching is OFF by default: the measured A/B on the chip (round 3,
+    # 2M @ 1024^3) is 0.92 s unbatched vs 1.14 s batched — per-pass device
+    # time dominates the ~6 ms dispatch floor it amortizes, and both the
+    # batched (8, 2^21) compaction sort (10.4 vs 7.4 ms/pass) and the batch
+    # assembly are slower than their single-pass equivalents
+    # (probes/profile_batch.py).  O2V_BATCH=8 re-enables it.
+    batch_cap = int(_os.environ.get("O2V_BATCH", 1))
     can_batch = (
         batch_cap > 1
         and pixels.shape[0] == 1

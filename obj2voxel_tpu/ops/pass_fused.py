@@ -18,11 +18,17 @@ decompose each f32 operand exactly, and a one-hot LHS makes every output a
 1.0 * value product: bit-exact selection (verified against the jnp oracle in
 tests/test_pass_fused.py, and on-device by scripts/device_validate.py).
 
-Channel layout of the (32, R) input (first 24 = engine.build_tri_table rows):
+Channel layout of the (24, R) input (= engine.build_tri_table rows):
    0:9  vertex coords     9:15 UVs        15 pad
   16    type             17:20 rgb        20 texture id    21:24 pad
-  24:27 voxel AABB min   27 sx  28 sy     29 AABB volume   30:32 pad
-Aug channels are small ints stored exactly in f32 (vol <= budget <= 2^23).
+The per-row voxel AABB (tmin, sx, sy, volume) is computed IN-KERNEL from the
+vertex channels — round 3.1: the XLA prologue that assembled a (32, R)
+"data32" buffer (AABB + stack + sublane concat + transpose) measured ~9 ms
+per 2^21-slot pass at expand=8 and 4x that at expand=1
+(probes/profile_batch.py), dwarfing the 3.9 ms kernel.  The AABB is the same
+float ops as the host planner (ops/plan.py), elementwise on the VPU, so
+counts stay exactly planner-consistent; aug values are small ints stored
+exactly in f32 (vol <= budget <= 2^23, coords < 2^13).
 
 The pure-jnp reference for everything in this kernel is engine._bucket_pass's
 prologue + ops/clip.clip_channels (reference semantics documented there;
@@ -103,13 +109,49 @@ def _make_kernel(expand, textured, ref_weights):
         local_base = scal_ref[b, 0]
         z_lo = scal_ref[b, 1]
         stride = scal_ref[b, 2]
+        z_hi = scal_ref[b, 3]
+        n_rows = scal_ref[b, 4]
 
         rows = rows_ref[...]
         if expand <= 128:  # (C, 1, SUB, K') block from the 4-D layout
             rows = rows[:, 0]
+            K = 128 // expand
+            ri = (
+                jax.lax.broadcasted_iota(jnp.int32, (SUB, K), 0) * K
+                + jax.lax.broadcasted_iota(jnp.int32, (SUB, K), 1)
+                + i * (SUB * K)
+            )
         else:  # (C, 1, 1, RB) block (Mosaic wants full last-two block dims)
-            rows = rows[:, 0, 0]
-        e = _expand_block(rows, expand)
+            rows = rows[:, 0]  # keep (C, 1, RB): per-channel slices stay 2-D
+            RB = rows.shape[-1]
+            if RB == 1:  # expand >= BLOCK: `step` consecutive blocks per row
+                ri = i // max(expand // BLOCK, 1)
+            else:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (1, RB), 1) + i * RB
+
+        # per-row voxel AABB, IDENTICAL float ops to the host planner
+        # (ops/plan.py) / the XLA oracle prologue (engine._bucket_pass)
+        tmin, size = [], []
+        for a in range(3):
+            va = jnp.minimum(jnp.minimum(rows[a], rows[a + 3]), rows[a + 6])
+            vb = jnp.maximum(jnp.maximum(rows[a], rows[a + 3]), rows[a + 6])
+            lo = jnp.int32(0) if a < 2 else z_lo
+            hi = stride if a < 2 else z_hi
+            t_lo = jnp.clip(jnp.floor(va).astype(jnp.int32), lo, hi)
+            t_hi = jnp.clip(jnp.floor(vb).astype(jnp.int32) + 1, lo, hi)
+            tmin.append(t_lo)
+            size.append(jnp.maximum(t_hi - t_lo, 0))
+        vol = size[0] * size[1] * size[2]
+        vol = jnp.where(ri < n_rows, vol, 0)  # overread rows are dead
+        aug = jnp.stack(
+            [tmin[0], tmin[1], tmin[2],
+             jnp.maximum(size[0], 1), jnp.maximum(size[1], 1), vol],
+            axis=0,
+        ).astype(jnp.float32)
+        allc = jnp.concatenate([rows, aug], axis=0)  # channels 24:30 = aug
+        if expand > 128:
+            allc = allc.reshape(allc.shape[0], allc.shape[-1])
+        e = _expand_block(allc, expand)
 
         pos = (
             jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0) * 128
@@ -176,7 +218,7 @@ def _make_kernel(expand, textured, ref_weights):
     ),
 )
 def fused_pass_batch_pallas(
-    data32,
+    rows24,
     scal,
     *,
     expand,
@@ -188,9 +230,12 @@ def fused_pass_batch_pallas(
 ):
     """Run `nbatch` same-shape passes in ONE kernel dispatch.
 
-    data32: (32, nbatch * R) f32, R = budget // expand — the nbatch per-pass
-    row slices concatenated along the row axis (channel layout above).
-    scal:   (nbatch, 3) int32 per-pass (local_base, z_lo, stride).
+    rows24: (24, nbatch * R) f32, R = budget // expand — the nbatch per-pass
+    row slices concatenated along the row axis (channel layout above; the
+    voxel AABB is computed in-kernel).
+    scal:   (nbatch, 5) int32 per-pass (local_base, z_lo, stride, z_hi,
+    n_rows) — n_rows masks the dynamic-slice overread into neighboring
+    segments (their volume is forced to 0, matching the XLA oracle).
     Returns (key, w, a, b, c) each (nbatch, budget).
 
     Batching amortizes the per-dispatch floor (~6 ms through the relay) that
@@ -198,27 +243,27 @@ def fused_pass_batch_pallas(
     the single-pass kernel with per-pass scalars read from SMEM row b.
     """
     assert budget % BLOCK == 0 and budget // BLOCK >= 1, budget
-    assert expand <= budget and data32.shape[1] == nbatch * (budget // expand)
+    assert expand <= budget and rows24.shape[1] == nbatch * (budget // expand)
     nblocks = budget // BLOCK
 
     if expand <= 128:
         K = 128 // expand
-        rows3 = data32.reshape(32, nbatch * nblocks, SUB, K)
+        rows3 = rows24.reshape(24, nbatch * nblocks, SUB, K)
         rows_spec = pl.BlockSpec(
-            (32, 1, SUB, K),
+            (24, 1, SUB, K),
             lambda b, i: (0, b * nblocks + i, 0, 0),
             memory_space=pltpu.VMEM,
         )
     else:
         # Mosaic requires the last two block dims to divide (8, 128) or equal
-        # the array dims; (32, 1, 1, RB) blocks over a 4-D layout satisfy that
+        # the array dims; (24, 1, 1, RB) blocks over a 4-D layout satisfy that
         # for any RB
         RB = max(BLOCK // expand, 1)
-        rows3 = data32.reshape(32, -1, 1, RB)
+        rows3 = rows24.reshape(24, -1, 1, RB)
         step = max(expand // BLOCK, 1)
         bpp = rows3.shape[1] // nbatch  # row-blocks per pass
         rows_spec = pl.BlockSpec(
-            (32, 1, 1, RB),
+            (24, 1, 1, RB),
             (lambda b, i: (0, b * bpp + i // step, 0, 0)) if step > 1
             else (lambda b, i: (0, b * bpp + i, 0, 0)),
             memory_space=pltpu.VMEM,
@@ -247,10 +292,12 @@ def fused_pass_batch_pallas(
     static_argnames=("expand", "budget", "textured", "ref_weights", "interpret"),
 )
 def fused_pass_pallas(
-    data32,
+    rows24,
     local_base,
     z_lo,
     stride,
+    z_hi,
+    n_rows,
     *,
     expand,
     budget,
@@ -260,7 +307,7 @@ def fused_pass_pallas(
 ):
     """Run one fused pass (nbatch=1 wrapper around the batched kernel).
 
-    data32: (32, R) f32 with R = budget // expand (channel layout above).
+    rows24: (24, R) f32 with R = budget // expand (channel layout above).
     Returns (key (P,) i32, w, a, b, c (P,) f32) with P = budget;
     (a, b, c) = premultiplied rgb, or (u, v, 0) when textured.
     """
@@ -269,10 +316,12 @@ def fused_pass_pallas(
             jnp.asarray(local_base, jnp.int32),
             jnp.asarray(z_lo, jnp.int32),
             jnp.asarray(stride, jnp.int32),
+            jnp.asarray(z_hi, jnp.int32),
+            jnp.asarray(n_rows, jnp.int32),
         ]
     )[None]
     outs = fused_pass_batch_pallas(
-        data32, scal,
+        rows24, scal,
         expand=expand, budget=budget, nbatch=1,
         textured=textured, ref_weights=ref_weights, interpret=interpret,
     )

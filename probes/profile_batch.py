@@ -7,7 +7,7 @@ batched pass on the real chip:
 
   1. fused kernel alone, nbatch in {1, 8}
   2. batched 5-operand compaction sort, (8, 2^21) vs (2^21,)
-  3. data32 assembly prologue (slice+stack+transpose relayout)
+  3. row assembly prologue (per-pass slice concat)
   4. _bucket_pass_batch end-to-end vs 8x single _bucket_pass
 
 Relay sync costs ~33 ms; every row times REPS dispatches between two syncs.
@@ -68,24 +68,30 @@ def main():
     z_los = zeros
     z_his = jnp.asarray(np.full(B, res, np.int32))
 
-    # --- data32 assembly prologue (what _bucket_pass_batch does before the
-    # kernel), isolated
+    # --- row assembly prologue (what _bucket_pass_batch does before the
+    # kernel), isolated.  Round 3.1: the AABB/aug runs in-kernel, so this is
+    # just a lane-axis concat of the per-pass slices.
     @jax.jit
     def assemble(tT):
-        rows_b = jnp.stack(
-            [jax.lax.dynamic_slice(tT, (0, r0s[i]), (24, R)) for i in range(B)]
+        return jnp.concatenate(
+            [jax.lax.dynamic_slice(tT, (0, r0s[i]), (24, R)) for i in range(B)],
+            axis=1,
         )
-        aug8 = jnp.zeros((B, 8, R), jnp.float32)
-        data32 = jnp.concatenate([rows_b, aug8], axis=1)
-        return data32.transpose(1, 0, 2).reshape(32, B * R)
 
-    data32 = jax.block_until_ready(assemble(tableT))
+    rows24 = jax.block_until_ready(assemble(tableT))
     t_asm = timeit(assemble, tableT)
 
     # --- fused kernel alone at nbatch=1 and nbatch=8
-    scal1 = jnp.zeros((1, 3), jnp.int32).at[:, 2].set(res)
-    scal8 = jnp.zeros((B, 3), jnp.int32).at[:, 2].set(res)
-    d1 = data32[:, :R]
+    # scal columns: (local_base, z_lo, stride, z_hi, n_rows)
+    scal1 = (
+        jnp.zeros((1, 5), jnp.int32).at[:, 2].set(res)
+        .at[:, 3].set(res).at[:, 4].set(R)
+    )
+    scal8 = (
+        jnp.zeros((B, 5), jnp.int32).at[:, 2].set(res)
+        .at[:, 3].set(res).at[:, 4].set(R)
+    )
+    d1 = rows24[:, :R]
 
     def k1(d):
         return fused_pass_batch_pallas(d, scal1, expand=expand, budget=budget, nbatch=1)
@@ -94,11 +100,11 @@ def main():
         return fused_pass_batch_pallas(d, scal8, expand=expand, budget=budget, nbatch=B)
 
     t_k1 = timeit(k1, d1)
-    t_k8 = timeit(k8, data32)
+    t_k8 = timeit(k8, rows24)
 
     # --- compaction sort at (2^21,) and (8, 2^21)
     key1, w1, a1, b1, c1 = jax.block_until_ready(k1(d1))
-    key8, w8, a8, b8, c8 = jax.block_until_ready(k8(data32))
+    key8, w8, a8, b8, c8 = jax.block_until_ready(k8(rows24))
 
     def s1(k, ch0, ch1, ch2, ch3):
         return sort_channels(k.reshape(budget), (ch0.reshape(budget), ch1.reshape(budget), ch2.reshape(budget), ch3.reshape(budget)))
@@ -135,7 +141,7 @@ def main():
     t_bs = timeit(bs, reps=5)
 
     print(f"budget 2^{lg}, expand {expand}, nbatch {B} (times in ms)")
-    print(f"  data32 assembly (slice+stack+transpose): {t_asm:8.2f}")
+    print(f"  row assembly (slice concat):             {t_asm:8.2f}")
     print(f"  fused kernel nbatch=1:                   {t_k1:8.2f}")
     print(f"  fused kernel nbatch=8:                   {t_k8:8.2f}  ({t_k8/B:.2f}/pass)")
     print(f"  compaction sort (2^21,):                 {t_s1:8.2f}")
