@@ -42,7 +42,10 @@ if _cache_dir is None:
     _plat = getattr(jax.config, "jax_platforms", None) or _os.environ.get(
         "JAX_PLATFORMS", ""
     )
-    if _plat and "cpu" in _plat:
+    # first platform in the priority list wins at runtime; the container
+    # default is "axon,cpu", so a substring test ("cpu" in ...) misrouted
+    # DEVICE compiles into the _cpu directory
+    if _plat and _plat.split(",")[0].strip() == "cpu":
         _cache_dir += "_cpu"
 if _cache_dir and _cache_dir != "0":
     try:
@@ -785,14 +788,14 @@ def voxelize_grid(
     vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int32)
 
     n_pad = _pow2_at_least(n_sub)
-    verts, uvs, types, rgb, tex = _pad_tris(
-        [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
+    table_dev = jnp.asarray(
+        build_tri_table(
+            verts_host, uvs_host, types_host, rgb_host, tex_host, n_pad=n_pad
+        )
     )
-    table_dev = jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex))
     # the generator frame stays alive for the whole stream: drop the host
-    # copies (padded ~1.6 GB + unpadded ~1.2 GB at 10M subdivided triangles)
-    # now that the table lives on device
-    del verts, uvs, types, rgb, tex
+    # copies (~1.2 GB at 10M subdivided triangles) now that the table lives
+    # on device
     del verts_host, uvs_host, types_host, rgb_host, tex_host
     yield from stream_slabs(
         table_dev,
@@ -808,19 +811,25 @@ def voxelize_grid(
     )
 
 
-def build_tri_table(verts, uvs, types, rgb, tex) -> np.ndarray:
+def build_tri_table(verts, uvs, types, rgb, tex, n_pad: int | None = None) -> np.ndarray:
     """Pack per-triangle data into one (N, 24) float32 row table; the first 16
     channels are exactly the clip kernel's tri_data layout so a pass slices
     them without shuffling: [0:9] vertex coords, [9:15] UVs, [15] padding,
     [16] type, [17:20] rgb, [20] texture id (float-encoded; exact below 2^24),
-    [21:24] padding."""
+    [21:24] padding.
+
+    n_pad pads the table with zero rows IN PLACE of a prior _pad_tris pass:
+    padding the five source arrays first cost a transient +1.3 GB at the
+    config-4 scale (probes/profile_memory.py) for copies that were freed
+    right after packing."""
     n = verts.shape[0]
-    table = np.zeros((n, 24), np.float32)
-    table[:, 0:9] = verts.reshape(n, 9)
-    table[:, 9:15] = uvs.reshape(n, 6)
-    table[:, 16] = types.astype(np.float32)
-    table[:, 17:20] = rgb
-    table[:, 20] = tex.astype(np.float32)
+    rows = n if n_pad is None else max(n, n_pad)
+    table = np.zeros((rows, 24), np.float32)
+    table[:n, 0:9] = verts.reshape(n, 9)
+    table[:n, 9:15] = uvs.reshape(n, 6)
+    table[:n, 16] = types.astype(np.float32)
+    table[:n, 17:20] = rgb
+    table[:n, 20] = tex.astype(np.float32)
     return table
 
 

@@ -49,7 +49,6 @@ from ..engine import (
     _pow2_at_least,
     _schedule_passes,
     build_tri_table,
-    _pad_tris,
 )
 from ..geometry import compute_mesh_transform, mesh_bounds
 from ..ops.color import TexturePool
@@ -249,10 +248,11 @@ def voxelize_sharded(
     vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int64)
 
     n_pad = _pow2_at_least(verts_host.shape[0])
-    verts, uvs, types, rgb, tex = _pad_tris(
-        [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
+    table = jnp.asarray(
+        build_tri_table(
+            verts_host, uvs_host, types_host, rgb_host, tex_host, n_pad=n_pad
+        )
     )
-    table = jnp.asarray(build_tri_table(verts, uvs, types, rgb, tex))
 
     windows, win_h = _device_windows(sample_res, n_devices)
     # lockstep sub-slabs: same key-height cap on every device window
