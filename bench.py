@@ -107,13 +107,16 @@ def run_device_resident(n_target: int, resolution: int, pull: bool = False):
             float(np.asarray(sum(checks) & jnp.uint32(0xFFFF)))
         return voxels
 
-    run()  # warmup / compile
+    voxels = run()  # warmup / compile; runs are deterministic, so the voxel
+    # count is captured here once (the timed pull=True runs still transfer the
+    # voxels -- that transfer IS what pull mode measures -- but the reported
+    # count no longer pairs the median time with an arbitrary run's output)
     # median of 3 timed runs: run-to-run variance through the relay tunnel is
     # ~10%, so a single sample can misreport a regression or an improvement
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        voxels = run()
+        assert run() == voxels
         times.append(time.perf_counter() - t0)
     elapsed = sorted(times)[1]
     return n, voxels, elapsed

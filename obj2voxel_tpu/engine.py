@@ -823,7 +823,9 @@ def build_tri_table(verts, uvs, types, rgb, tex, n_pad: int | None = None) -> np
     config-4 scale (probes/profile_memory.py) for copies that were freed
     right after packing."""
     n = verts.shape[0]
-    rows = n if n_pad is None else max(n, n_pad)
+    if n_pad is not None and n_pad < n:
+        raise ValueError(f"n_pad={n_pad} smaller than triangle count {n}")
+    rows = n if n_pad is None else n_pad
     table = np.zeros((rows, 24), np.float32)
     table[:n, 0:9] = verts.reshape(n, 9)
     table[:n, 9:15] = uvs.reshape(n, 6)

@@ -36,6 +36,11 @@ def main():
         _pow2_at_least,
         build_tri_table,
     )
+
+    # O2V_PROBE_PREPAD=1 replays the pre-round-3 _pad_tris path (pads the five
+    # source arrays before packing) for comparison; the default measures the
+    # SHIPPED path (engine.voxelize_grid packs with n_pad in place).
+    prepad = os.environ.get("O2V_PROBE_PREPAD") == "1"
     from obj2voxel_tpu.geometry import compute_mesh_transform, mesh_bounds
     from obj2voxel_tpu.ops.plan import plan_mesh
     from obj2voxel_tpu.ops.subdivide import subdivide_soup
@@ -74,15 +79,23 @@ def main():
     mark("int32 AABBs")
 
     n_pad = _pow2_at_least(n_sub)
-    verts, uvs, types, rgb, tex = _pad_tris(
-        [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
-    )
-    mark(f"pad to {n_pad}")
-
-    table = build_tri_table(verts, uvs, types, rgb, tex)
-    del verts, uvs, types, rgb, tex
-    del verts_host, uvs_host, types_host, rgb_host, tex_host
-    mark(f"tri table ({table.nbytes / 1e9:.2f} GB) + padded copies freed")
+    if prepad:
+        verts, uvs, types, rgb, tex = _pad_tris(
+            [verts_host, uvs_host, types_host, rgb_host, tex_host], n_pad
+        )
+        mark(f"pad to {n_pad} (legacy _pad_tris path)")
+        table = build_tri_table(verts, uvs, types, rgb, tex)
+        del verts, uvs, types, rgb, tex
+        del verts_host, uvs_host, types_host, rgb_host, tex_host
+        mark(f"tri table ({table.nbytes / 1e9:.2f} GB) + padded copies freed")
+    else:
+        # the shipped path: pack with n_pad in place (engine.voxelize_grid)
+        table = build_tri_table(
+            verts_host, uvs_host, types_host, rgb_host, tex_host, n_pad=n_pad
+        )
+        del verts_host, uvs_host, types_host, rgb_host, tex_host
+        mark(f"tri table ({table.nbytes / 1e9:.2f} GB, n_pad={n_pad}) "
+             "+ host copies freed")
 
     order, segments = plan_mesh(
         vmin_h, vmax_h, res, res, slot_budget=4 * MAX_PASS_BUDGET

@@ -36,9 +36,17 @@ def read_ply(data: bytes):
     Only scalar properties and binary_big_endian 1.0 are supported (all this
     codebase ever writes); list properties or other formats raise.
     """
-    end = data.index(b"end_header\n") + len(b"end_header\n")
-    header, payload = data[:end], data[end:]
-    lines = header.decode("ascii").splitlines()
+    # locate the header end line by line (an exact "end_header" line per the
+    # spec) -- a bare substring search could split early inside a comment
+    off, lines = 0, []
+    while True:
+        nl = data.index(b"\n", off)
+        line = data[off:nl].decode("ascii").rstrip("\r")
+        lines.append(line)
+        off = nl + 1
+        if line == "end_header":
+            break
+    payload = data[off:]
     assert lines[0] == "ply", "missing magic"
 
     fmt = None
