@@ -46,7 +46,30 @@ if _cache_dir is None:
     # default is "axon,cpu", so a substring test ("cpu" in ...) misrouted
     # DEVICE compiles into the _cpu directory
     if _plat and _plat.split(",")[0].strip() == "cpu":
-        _cache_dir += "_cpu"
+        # CPU cache entries are AOT executables specialized to the exact
+        # host CPU feature set, but XLA's cache key does NOT include it --
+        # ~/.cache persists across container hosts with different CPUs, and
+        # loading a mismatched AOT result SIGSEGVs/SIGILLs mid-suite
+        # (xla cpu_aot_loader: "machine type ... doesn't match ... could
+        # lead to execution errors such as SIGILL"; observed as the roving
+        # full-suite segfault in round 4).  Key the directory by a
+        # fingerprint of the host CPU model + flags.
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                _info = _f.read()
+            _sig = "".join(
+                line
+                for line in _info.splitlines()
+                if line.startswith(("model name", "flags"))
+            )[:4096]
+        except OSError:  # pragma: no cover - non-Linux fallback
+            import platform as _platform
+
+            _sig = _platform.processor() or _platform.machine()
+        _tag = _hashlib.sha1(_sig.encode()).hexdigest()[:10]
+        _cache_dir += f"_cpu_{_tag}"
 if _cache_dir and _cache_dir != "0":
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
@@ -250,6 +273,21 @@ def _combine_epilogue(
     return keys, chans, xyz, argb, count
 
 
+def pass_scalars(r0, n_rows, local_base, z_lo, z_hi, stride,
+                 is_blend, do_downscale):
+    """Bundle a pass's 8 dynamic scalars into ONE (8,) int32 device upload.
+
+    Each `jnp.int32(x)` at a `_bucket_pass` call site is a separate
+    host->device transfer; through the relay the wave loop's ~10 scalar
+    uploads per pass measured as the bulk of a ~150 ms host dispatch window
+    per 34-pass wave (O2V_TIMING dispatch/drain split, round 4).  One packed
+    array cuts that to one upload + a 4-arg jit call per pass."""
+    return jnp.asarray(np.array(
+        [r0, n_rows, local_base, z_lo, z_hi, stride,
+         int(is_blend), int(do_downscale)], np.int32,
+    ))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -261,14 +299,7 @@ def _bucket_pass(
     tableT,
     pixels,
     meta,
-    r0,
-    n_rows,
-    local_base,
-    z_lo,
-    z_hi,
-    stride,
-    is_blend,
-    do_downscale,
+    scal,
     *,
     expand,
     budget,
@@ -299,7 +330,25 @@ def _bucket_pass(
     expansion + clip + key + premultiply in one kernel) on the device for
     texture-free, non-giant passes; the XLA pipeline below remains the
     oracle (and the only path for textured meshes / wide_local passes).
+
+    Multi-pass (finalize=False) fused passes compact IN-KERNEL by default
+    (round 4): the pack=True fused kernel DMAs each block's live prefix to a
+    running output offset (ops/pack_pallas.py), replacing the per-pass
+    5-operand compaction sort -- linear-time, so the 2^22+ budget rungs no
+    longer pay the bitonic sort's superlinearity.  O2V_PACK=0 restores the
+    sort path.
+
+    scal: the (8,) int32 dynamic-scalar bundle from `pass_scalars`
+    (one upload per pass instead of ~10 -- see its docstring).
     """
+    r0 = scal[0]
+    n_rows = scal[1]
+    local_base = scal[2]
+    z_lo = scal[3]
+    z_hi = scal[4]
+    stride = scal[5]
+    is_blend = scal[6] != 0
+    do_downscale = scal[7] != 0
     if fused is None:
         fused = (
             use_pallas
@@ -317,13 +366,37 @@ def _bucket_pass(
         # double the 3.9 ms kernel itself
         from .ops.pass_fused import fused_pass_pallas
 
+        pass_combine = finalize or _os.environ.get("O2V_PASS_COMBINE") == "1"
+        if not pass_combine and _os.environ.get("O2V_PACK") != "0":
+            # in-kernel pack: outputs arrive compacted (live prefix in slot
+            # order + <128 INVALID/zero fillers per block); rows past cnt are
+            # undefined and masked here to keep the compacted-buffer contract
+            # (INVALID/zero tail) the merge assembler relies on.  Slot order
+            # vs the sort's key order is equivalent downstream: the slab
+            # merge's stable sort sees the same stream order either way
+            # (tests/test_pack_pallas.py).  do_downscale is ignored: multi-
+            # pass slabs always defer downscaling to the merge.
+            key, w, wr, wg, wb, cnt = fused_pass_pallas(
+                rowsT, local_base, z_lo, stride, z_hi, n_rows,
+                expand=expand, budget=budget,
+                textured=False, ref_weights=ref_weights,
+                interpret=not use_pallas, pack=True,
+            )
+            iota = jax.lax.iota(jnp.int32, budget)
+            tail = iota >= cnt
+            key = jnp.where(tail, INVALID_KEY, key)
+            chans = tuple(
+                jnp.where(tail, 0.0, c) for c in (w, wr, wg, wb)
+            )
+            return key, chans, None, None, cnt
+
         key, w, wr, wg, wb = fused_pass_pallas(
             rowsT, local_base, z_lo, stride, z_hi, n_rows,
             expand=expand, budget=budget,
             textured=False, ref_weights=ref_weights,
             interpret=not use_pallas,
         )
-        if finalize or _os.environ.get("O2V_PASS_COMBINE") == "1":
+        if pass_combine:
             combined = combine_channels(
                 key, (w, wr, wg, wb), is_blend, use_kernel=use_pallas
             )
@@ -506,6 +579,24 @@ def _bucket_pass_batch(
          z_his, n_rows_s],
         axis=1,
     )
+    if _os.environ.get("O2V_PACK") != "0":
+        # in-kernel pack (round 4): each batch element's live pairs land as
+        # a dense block-prefix in its own row range (ops/pack_pallas.py) --
+        # no batched sort at all, so batching no longer pays the bitonic
+        # sort's superlinearity that made O2V_BATCH lose in round 3.  Rows
+        # past counts[b] are undefined; mask to the compacted-buffer
+        # contract (INVALID/zero tail) like the single-pass path.
+        key, w, wr, wg, wb, counts = fused_pass_batch_pallas(
+            rows_cat, scal,
+            expand=expand, budget=budget, nbatch=nbatch,
+            textured=False, ref_weights=ref_weights,
+            interpret=not use_pallas, pack=True,
+        )
+        tail = jax.lax.iota(jnp.int32, budget)[None, :] >= counts[:, None]
+        key = jnp.where(tail, INVALID_KEY, key)
+        chans = tuple(jnp.where(tail, 0.0, c) for c in (w, wr, wg, wb))
+        return key, chans, counts
+
     key, w, wr, wg, wb = fused_pass_batch_pallas(
         rows_cat, scal,
         expand=expand, budget=budget, nbatch=nbatch,
@@ -916,15 +1007,28 @@ def stream_slabs(
     _t0 = _time.perf_counter()
     # device-side plan (sort + order stay on device; two tiny pulls) with a
     # host fallback for many-slab grids (batch mode) or if disabled
-    order_dev, segments = None, None
+    tableT_dev, segments = None, None
     if _os.environ.get("O2V_HOST_PLAN") != "1":
-        order_dev, segments = plan_mesh_device(
+        # gather_slack makes the planner return the plan-order gathered
+        # table directly, dispatched before its blocking bounds pull -- the
+        # ~200 ms row-latency-bound gather (probes/probe_gather_sorted.py)
+        # overlaps the pull + host segment loop instead of the first wave
+        # O2V_GROUP: triangles per planning unit.  G=8 makes the plan-order
+        # gather move (8*24)-wide rows (~13 GB/s vs ~1.3 GB/s at 24 wide,
+        # probes/probe_gather_width.py) and shrinks the stage-2 sort 8x, at
+        # the cost of group-max bucket slots (mesh-local neighbors rarely
+        # differ much).  G=1 restores the per-triangle plan.
+        group = int(_os.environ.get("O2V_GROUP", "8"))
+        tableT_dev, segments = plan_mesh_device(
             tri_table, vmin_h.shape[0], stride, z_extent,
             slot_budget=4 * max_budget,
+            timing=timing,
+            gather_slack=max_budget,
+            group=group,
         )
-    if order_dev is not None:
+    if tableT_dev is not None:
         m = segments[-1].r1
-        order_arg = order_dev
+        tableT = tableT_dev
     elif segments is not None:
         return  # empty mesh
     else:
@@ -937,12 +1041,10 @@ def stream_slabs(
         m_up = _pow2_at_least(m, 1 << 10)
         order_up = np.zeros(m_up, np.int32)
         order_up[:m] = order
-        order_arg = jnp.asarray(order_up)
-
-    # one per-TRIANGLE gather for the whole mesh; padded so no pass's
-    # dynamic_slice can clamp (clamping would alias real rows)
-    m_pad = _pow2_at_least(m + max_budget, 1 << 10)
-    tableT = _gather_sorted(tri_table, order_arg, pad_to=m_pad)
+        # one per-TRIANGLE gather for the whole mesh; padded so no pass's
+        # dynamic_slice can clamp (clamping would alias real rows)
+        m_pad = _pow2_at_least(m + max_budget, 1 << 10)
+        tableT = _gather_sorted(tri_table, jnp.asarray(order_up), pad_to=m_pad)
 
     use_pallas = jax.default_backend() != "cpu"
     ref_weights = _os.environ.get("O2V_WEIGHT_MODE") == "input_area"
@@ -1032,15 +1134,9 @@ def stream_slabs(
                 tableT,
                 pixels,
                 meta,
-                jnp.int32(r0),
-                jnp.int32(n_rows),
-                jnp.int32(local_base),
-                jnp.int32(z_lo),
-                jnp.int32(z_hi),
-                jnp.int32(sample_res),
-                jnp.bool_(is_blend),
                 # with several passes downscaling must wait for the merge
-                jnp.bool_(do_down and not multi),
+                pass_scalars(r0, n_rows, local_base, z_lo, z_hi,
+                             sample_res, is_blend, do_down and not multi),
                 expand=expand,
                 budget=budget,
                 use_pallas=use_pallas,
@@ -1049,7 +1145,7 @@ def stream_slabs(
                 finalize=not multi,
             )
             st["handles"][pi] = ("s", handle, len(count_parts))
-            count_parts.append(jnp.reshape(handle[4], (1,)))
+            count_parts.append(handle[4])
 
         n_batched = 0
         for (expand, budget), items in sorted(batchable.items()):
@@ -1066,15 +1162,14 @@ def stream_slabs(
                     st, pi, r0, n_rows, local_base, z_lo, z_hi = chunk[0]
                     handle = _bucket_pass(
                         tableT, pixels, meta,
-                        jnp.int32(r0), jnp.int32(n_rows), jnp.int32(local_base),
-                        jnp.int32(z_lo), jnp.int32(z_hi), jnp.int32(sample_res),
-                        jnp.bool_(is_blend), jnp.bool_(False),
+                        pass_scalars(r0, n_rows, local_base, z_lo, z_hi,
+                                     sample_res, is_blend, False),
                         expand=expand, budget=budget, use_pallas=use_pallas,
                         ref_weights=ref_weights, wide_local=False,
                         finalize=False,
                     )
                     st["handles"][pi] = ("s", handle, len(count_parts))
-                    count_parts.append(jnp.reshape(handle[4], (1,)))
+                    count_parts.append(handle[4])
                     continue
                 arrs = np.asarray(
                     [(r0, nr, lb, zl, zh) for _, _, r0, nr, lb, zl, zh in chunk],
@@ -1098,17 +1193,31 @@ def stream_slabs(
         WAVE_STATS["dispatches"] += len(count_parts)
         WAVE_STATS["batched"] += n_batched
 
-        # one batched counts pull for every dispatch in the wave
+        # one batched counts pull for every dispatch in the wave; parts are
+        # raw count scalars (or (B,) vectors from batched dispatches) --
+        # shaping them here per part would cost one device op each
+        _t_disp = _time.perf_counter() if timing else 0.0
         part_offs = np.zeros(len(count_parts) + 1, np.int64)
-        np.cumsum([p.shape[0] for p in count_parts], out=part_offs[1:])
-        counts = np.asarray(jnp.concatenate(count_parts))
+        np.cumsum(
+            [p.shape[0] if p.ndim else 1 for p in count_parts],
+            out=part_offs[1:],
+        )
+        if all(p.ndim == 0 for p in count_parts):
+            counts = np.asarray(jnp.stack(count_parts))
+        else:
+            counts = np.asarray(jnp.concatenate(
+                [p if p.ndim else p[None] for p in count_parts]
+            ))
         if timing:
             _t2 = _time.perf_counter()
             print(
                 f"[o2v-timing]   wave: {len(wave)} slabs "
                 f"{sum(st['n'] for st in wave)} passes "
                 f"({len(count_parts)} dispatches, {n_batched} batched) "
-                f"{(_t2 - _t1) * 1000:.0f}ms counts={counts.tolist()}",
+                f"{(_t2 - _t1) * 1000:.0f}ms "
+                f"(dispatch {(_t_disp - _t1) * 1000:.0f}ms, "
+                f"drain+pull {(_t2 - _t_disp) * 1000:.0f}ms) "
+                f"counts={counts.tolist()}",
                 flush=True,
             )
             _t1 = _t2
@@ -1180,15 +1289,19 @@ def stream_slabs(
             merged.append((st, handle))
 
         # one batched pull for all merge counts, then yield in slab order
+        _t_mdisp = _time.perf_counter() if timing else 0.0
         live = [h for _, h in merged if h is not None]
         mcounts = (
             iter(np.asarray(jnp.stack([h[2] for h in live])).tolist())
             if live else iter(())
         )
         if timing and live:
+            _t3 = _time.perf_counter()
             print(
                 f"[o2v-timing]   {len(live)} merges "
-                f"{(_time.perf_counter() - _t1) * 1000:.0f}ms",
+                f"{(_t3 - _t1) * 1000:.0f}ms "
+                f"(dispatch {(_t_mdisp - _t1) * 1000:.0f}ms, "
+                f"drain+pull {(_t3 - _t_mdisp) * 1000:.0f}ms)",
                 flush=True,
             )
         for st, handle in merged:

@@ -132,13 +132,38 @@ def compact_channels(keys, chans):
     return sorted_keys, schans, count
 
 
-def _combine_sorted_kernel(sorted_keys, chans, is_blend):
-    """Run-tail combine via the streaming Pallas kernel + compaction sort."""
+def _combine_sorted_kernel(sorted_keys, chans, is_blend, interpret=False):
+    """Run-tail combine via the streaming Pallas kernel + compaction.
+
+    Round 4: the tail compaction is the EXACT pack kernel
+    (ops/pack_pallas.pack_exact_pallas, linear time) instead of a second
+    5-operand sort — the sort cost 33.6 ms per 2^23 rows on the chip
+    (probes/profile_merge.py), the largest merge stage after the initial
+    sort.  The tail-marked stream is already key-ordered and pack preserves
+    order, so the output contract (key-sorted dense live prefix + count) is
+    unchanged; rows past count are junk (the INVALID/zero tail the sort used
+    to produce is only ever consumed through [:count] slices or INVALID-key
+    masks downstream)."""
     from .combine_pallas import segment_combine_pallas
+    from .pack_pallas import BLOCK as _PACK_BLOCK, pack_exact_pallas
 
     tk, tw, tr, tg, tb = segment_combine_pallas(
-        sorted_keys, chans[0], chans[1], chans[2], chans[3], is_blend
+        sorted_keys, chans[0], chans[1], chans[2], chans[3], is_blend,
+        interpret=interpret,
     )
+    if sorted_keys.shape[0] % _PACK_BLOCK == 0:
+        ok, vs, count = pack_exact_pallas(
+            tk, (tw, tr, tg, tb), interpret=interpret
+        )
+        # rows past count are UNDEFINED (unwritten pallas output memory for
+        # sparse streams); restore the INVALID/zero-tail contract the
+        # downstream full-buffer consumers rely on (merge assembler,
+        # downscale re-merge) — one elementwise pass, ~0.3 ms per 2^23 rows
+        # vs the 33.6 ms sort this replaces
+        tail = jax.lax.iota(jnp.int32, ok.shape[0]) >= count
+        ok = jnp.where(tail, INVALID_KEY, ok)
+        vs = tuple(jnp.where(tail, 0.0, v) for v in vs)
+        return ok, vs, count
     count = jnp.sum((tk != INVALID_KEY).astype(jnp.int32))
     ok, v0, v1, v2, v3 = jax.lax.sort(
         (tk, tw, tr, tg, tb), num_keys=1, is_stable=False

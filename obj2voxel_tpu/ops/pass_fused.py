@@ -45,6 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .clip import _area_uv, _clip_polygons
+from .pack_pallas import flush_packed, pack_block
 
 #: slots per grid step, laid out (SUB, 128); SUB=64 was the clip kernel's
 #: measured optimum (ops/clip_pallas.py).
@@ -102,8 +103,13 @@ def _divmod_f(lf, sf):
     return lf - q * sf, q
 
 
-def _make_kernel(expand, textured, ref_weights):
-    def kernel(scal_ref, rows_ref, key_ref, w_ref, a_ref, b_ref, c_ref):
+def _make_kernel(expand, textured, ref_weights, pack=False, nblocks=None):
+    def kernel(scal_ref, rows_ref, *refs):
+        if pack:
+            (okey, ow, oa, ob, oc, cnt_ref,
+             sk, sw, sa, sb, sc, off_ref, sems) = refs
+        else:
+            key_ref, w_ref, a_ref, b_ref, c_ref = refs
         b = pl.program_id(0)  # batch element (pass index within the batch)
         i = pl.program_id(1)  # block within the pass
         local_base = scal_ref[b, 0]
@@ -195,18 +201,42 @@ def _make_kernel(expand, textured, ref_weights):
         vz = vzf.astype(jnp.int32)
         key = (vz - z_lo) * (stride * stride) + vy * stride + vx
         live = w > 0
-        key_ref[0] = jnp.where(live, key, _INV)
-        w_ref[0] = w
+        key = jnp.where(live, key, _INV)
         if textured:
             # colors need the texture-pool gather; emit UVs for the XLA
             # sampling epilogue instead of premultiplied rgb
-            a_ref[0] = uv_u
-            b_ref[0] = uv_v
-            c_ref[0] = jnp.zeros_like(w)
+            av, bv, cv = uv_u, uv_v, jnp.zeros_like(w)
         else:
-            a_ref[0] = w * e[17]
-            b_ref[0] = w * e[18]
-            c_ref[0] = w * e[19]
+            av, bv, cv = w * e[17], w * e[18], w * e[19]
+
+        if not pack:
+            key_ref[0] = key
+            w_ref[0] = w
+            a_ref[0] = av
+            b_ref[0] = bv
+            c_ref[0] = cv
+            return
+
+        # pack mode (round 4): compact this block's live pairs in-register
+        # and DMA them to the dense output prefix -- replaces the per-pass
+        # compaction sort entirely (see ops/pack_pallas.py docstring)
+        @pl.when(i == 0)
+        def _():
+            off_ref[0] = 0
+
+        packed, n = pack_block(
+            live.astype(jnp.int32), [key, w, av, bv, cv]
+        )
+        new_off = flush_packed(
+            packed, n,
+            [okey, ow, oa, ob, oc],
+            [_INV, 0.0, 0.0, 0.0, 0.0],
+            [sk, sw, sa, sb, sc],
+            off_ref, sems,
+            base=b * (nblocks * SUB),
+        )
+        off_ref[0] = new_off
+        cnt_ref[b] = new_off * 128
 
     return kernel
 
@@ -215,6 +245,7 @@ def _make_kernel(expand, textured, ref_weights):
     jax.jit,
     static_argnames=(
         "expand", "budget", "nbatch", "textured", "ref_weights", "interpret",
+        "pack",
     ),
 )
 def fused_pass_batch_pallas(
@@ -227,6 +258,7 @@ def fused_pass_batch_pallas(
     textured=False,
     ref_weights=False,
     interpret=False,
+    pack=False,
 ):
     """Run `nbatch` same-shape passes in ONE kernel dispatch.
 
@@ -269,6 +301,40 @@ def fused_pass_batch_pallas(
             memory_space=pltpu.VMEM,
         )
 
+    if pack:
+        # pack mode: outputs are flat (nbatch*rows, 128) HBM buffers written
+        # by in-kernel DMA at running offsets (ops/pack_pallas.py); rows past
+        # each batch element's count are UNDEFINED -- consumers mask/slice.
+        assert not textured, "textured passes use the XLA pipeline"
+        rows_out = nbatch * (budget // 128)
+        f32 = jax.ShapeDtypeStruct((rows_out, 128), jnp.float32)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
+        outs = pl.pallas_call(
+            _make_kernel(expand, textured, ref_weights, pack=True,
+                         nblocks=nblocks),
+            grid=(nbatch, nblocks),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), rows_spec],
+            out_specs=(any_spec,) * 5
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            out_shape=(
+                jax.ShapeDtypeStruct((rows_out, 128), jnp.int32),
+                f32, f32, f32, f32,
+                jax.ShapeDtypeStruct((nbatch,), jnp.int32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((SUB, 128), jnp.int32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.VMEM((SUB, 128), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA((5,)),
+            ],
+            interpret=interpret,
+        )(scal, rows3)
+        counts = outs[5]
+        return tuple(o.reshape(nbatch, budget) for o in outs[:5]) + (counts,)
+
     out_spec = pl.BlockSpec(
         (1, SUB, 128), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
@@ -289,7 +355,9 @@ def fused_pass_batch_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expand", "budget", "textured", "ref_weights", "interpret"),
+    static_argnames=(
+        "expand", "budget", "textured", "ref_weights", "interpret", "pack",
+    ),
 )
 def fused_pass_pallas(
     rows24,
@@ -304,12 +372,16 @@ def fused_pass_pallas(
     textured=False,
     ref_weights=False,
     interpret=False,
+    pack=False,
 ):
     """Run one fused pass (nbatch=1 wrapper around the batched kernel).
 
     rows24: (24, R) f32 with R = budget // expand (channel layout above).
     Returns (key (P,) i32, w, a, b, c (P,) f32) with P = budget;
     (a, b, c) = premultiplied rgb, or (u, v, 0) when textured.
+    With pack=True, returns (key, w, a, b, c, count) where the outputs are
+    block-prefix compacted (ops/pack_pallas.py layout) and rows past `count`
+    are UNDEFINED -- callers mask (engine._bucket_pass does).
     """
     scal = jnp.stack(
         [
@@ -324,5 +396,8 @@ def fused_pass_pallas(
         rows24, scal,
         expand=expand, budget=budget, nbatch=1,
         textured=textured, ref_weights=ref_weights, interpret=interpret,
+        pack=pack,
     )
+    if pack:
+        return tuple(o.reshape(budget) for o in outs[:5]) + (outs[5][0],)
     return tuple(o.reshape(budget) for o in outs)

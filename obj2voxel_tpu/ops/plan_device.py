@@ -66,13 +66,25 @@ def _stage1(table, n_sub, *, stride, z_extent):
     return per_row, vmin, vmax
 
 
-@functools.partial(jax.jit, static_argnames=("s_pad",))
-def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad):
-    """Stable-sort (slab*64 + k) keys over all (triangle, slab) incidences.
+@functools.partial(jax.jit, static_argnames=("s_pad", "group"))
+def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad, group=1):
+    """Stable-sort (slab*64 + k) keys over all (group, slab) incidences.
 
-    Returns (sorted triangle ids (N*s_pad,) -- stays on device -- and the
-    (s_pad*64 + 1,) segment boundary offsets).  Dead incidences key to
-    s_pad*64 and sort to the tail, so live rows form a prefix.
+    group: triangles per planning unit.  G=1 is the per-triangle plan (bit-
+    identical to the host planner).  G>1 plans CONSECUTIVE table rows as one
+    unit: the unit's bucket is the max member k and it is incident to a slab
+    iff any member is -- members outside the slab (or dead) clip to vol=0 in
+    the pass kernel, costing slots but no correctness.  The point is the
+    pass GATHER: (G*24)-wide rows move at ~13 GB/s where 24-wide rows are
+    row-latency-bound at ~1.3 GB/s (probes/probe_gather_width.py) -- at 2M
+    tris the gather drops ~200 ms -> ~20 ms; the (N/G x s_pad) sort also
+    shrinks G-fold.  The tradeoff is slot waste when neighbors differ in
+    size (mesh-local triangles rarely do) and G-fold giant-bucket walks.
+
+    Returns (sorted group ids (N/group*s_pad,) -- stays on device -- and the
+    (s_pad*64 + 1,) segment boundary offsets, in GROUP units).  Dead
+    incidences key to s_pad*64 and sort to the tail, so live rows form a
+    prefix.
     """
     row = jnp.arange(vmin.shape[0], dtype=jnp.int32)
     sx = vmax[:, 0] - vmin[:, 0]
@@ -88,6 +100,13 @@ def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad):
     # exact ceil_log2 via count-leading-zeros (no float-log edge cases)
     k = jnp.where(c <= 1, 0, 32 - jax.lax.clz(jnp.maximum(c - 1, 1)))
     live = alive[:, None] & (dz > 0) & (s_id[None, :] < n_slabs)
+    if group > 1:
+        n_g = vmin.shape[0] // group
+        k = jnp.max(
+            jnp.where(live, k, -1).reshape(n_g, group, s_pad), axis=1
+        )
+        live = jnp.any(live.reshape(n_g, group, s_pad), axis=1)
+        row = jnp.arange(n_g, dtype=jnp.int32)
     key = jnp.where(live, s_id[None, :] * 64 + k, s_pad * 64).astype(jnp.int32)
 
     tri = jnp.broadcast_to(row[:, None], key.shape)
@@ -98,7 +117,15 @@ def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad):
     return stri, bounds
 
 
-def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
+#: early-gather cap: `gather_slack` gathers at stri's FULL static size
+#: (N_pad * s_pad + slack) before `m` is known; past this many rows the
+#: dead-tail waste (and the (24, M) device buffer) outgrows the overlap win,
+#: so the caller falls back to the post-pull m_pad-sized gather
+MAX_EARLY_GATHER_ROWS = 1 << 24
+
+
+def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
+                     timing=False, gather_slack=None, group=1):
     """Plan the full pass schedule with the sort on device.
 
     table:  (N_pad, 24) device-resident triangle row table (build_tri_table).
@@ -109,13 +136,35 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
         is the gather order;
       * (None, [])        -- empty mesh, nothing to voxelize;
       * (None, None)      -- the mesh needs the HOST planner (too many slabs).
+
+    gather_slack (rows): when set, the (order, segments) success case returns
+    (tableT, segments) instead, with tableT = the (24, M) channel-major
+    gather of `table` into plan order, zero-index padded by at least `slack`
+    rows so no pass's dynamic_slice can clamp (the caller's max pass
+    budget).  The gather is dispatched BEFORE the blocking segment-bounds
+    pull: its device time (~200 ms at 2M tris per-triangle -- row-latency
+    bound, probes/probe_gather_sorted.py) overlaps the pull + host segment
+    loop instead of landing in the first wave's drain.  Falls back to the
+    tighter post-pull m_pad-sized gather when the early size would exceed
+    MAX_EARLY_GATHER_ROWS.
+
+    group: triangles per planning unit (power of 2 dividing N_pad; see
+    _stage2).  Segments and the gathered tableT are ALWAYS in triangle-row
+    units -- a group-planned segment's r0/r1 are multiples of `group` and
+    its bucket k is the group-max -- so the engine's pass chunking and the
+    pass kernels are agnostic to it.  Requires gather_slack (the plain-order
+    return would be in group units); G>1 plans are NOT bit-comparable to the
+    host planner.
     """
+    import time as _time
+
+    _t0 = _time.perf_counter() if timing else 0.0
     per_row, vmin, vmax = _stage1(
         table, jnp.int32(n_sub), stride=stride, z_extent=z_extent
     )
-    slabs = slabs_from_rows(
-        np.asarray(per_row), stride, z_extent, slot_budget, align
-    )
+    per_row_h = np.asarray(per_row)
+    _t1 = _time.perf_counter() if timing else 0.0
+    slabs = slabs_from_rows(per_row_h, stride, z_extent, slot_budget, align)
     if not slabs:
         return None, []
     if len(slabs) > MAX_DEVICE_SLABS:
@@ -127,6 +176,9 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
     starts[: len(slabs)] = [s[0] for s in slabs]
     stops[: len(slabs)] = [s[1] for s in slabs]
 
+    if group > 1 and gather_slack is None:
+        raise ValueError("group > 1 requires gather_slack (see docstring)")
+    _t2 = _time.perf_counter() if timing else 0.0
     stri, bounds = _stage2(
         vmin,
         vmax,
@@ -135,8 +187,23 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
         jnp.asarray(stops),
         jnp.int32(len(slabs)),
         s_pad=s_pad,
+        group=group,
     )
+    tableT = None
+    slack_g = None
+    if gather_slack is not None:
+        slack_g = -(-int(gather_slack) // group)
+        if (stri.shape[0] + slack_g) * group <= MAX_EARLY_GATHER_ROWS:
+            tableT = _gather_ordered(table, stri, slack=slack_g, group=group)
     bounds_h = np.asarray(bounds)
+    if timing:
+        _t3 = _time.perf_counter()
+        print(
+            f"[o2v-timing]   plan: stage1+pull {(_t1 - _t0) * 1000:.0f}ms "
+            f"slab-loop {(_t2 - _t1) * 1000:.0f}ms "
+            f"stage2+pull {(_t3 - _t2) * 1000:.0f}ms (s_pad={s_pad})",
+            flush=True,
+        )
 
     segments = []
     for i in range(s_pad * 64):
@@ -144,7 +211,50 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2):
         if r1 == r0:
             continue
         s = i // 64
-        segments.append(Segment(int(starts[s]), int(stops[s]), i % 64, r0, r1))
+        # segments are ALWAYS in triangle-row units (bounds are group units)
+        segments.append(
+            Segment(int(starts[s]), int(stops[s]), i % 64,
+                    r0 * group, r1 * group)
+        )
     if not segments:
         return None, []
-    return stri, segments
+    if gather_slack is None:
+        return stri, segments
+    if tableT is None:
+        # capped: gather after the pull at the tight m_pad size (the early
+        # gather's dead-tail waste would outweigh the overlap win)
+        m_g = segments[-1].r1 // group
+        m_pad_g = 1 << max(int(m_g + slack_g - 1).bit_length(), 10)
+        tableT = _gather_ordered(
+            table, stri, slack=0, group=group, pad_to=m_pad_g
+        )
+    return tableT, segments
+
+
+@functools.partial(jax.jit, static_argnames=("slack", "group", "pad_to"))
+def _gather_ordered(table, order, *, slack, group=1, pad_to=None):
+    """Channel-major (24, M) gather of `table` into plan order.
+
+    order:  group ids (triangle ids when group=1).
+    slack:  zero-index GROUP rows appended (row 0 repeats -- cache-resident,
+            so the tail is cheap); used by the early (pre-pull) gather.
+    group:  triangles per order entry; the gather moves (group*24)-wide rows
+            (~13 GB/s at 192 wide vs ~1.3 GB/s at 24 -- the whole point,
+            probes/probe_gather_width.py).
+    pad_to: slice/pad the order to exactly this many GROUP rows first; used
+            by the capped post-pull gather."""
+    if pad_to is not None and pad_to > order.shape[0]:
+        order = jnp.concatenate(
+            [order, jnp.zeros(pad_to - order.shape[0], jnp.int32)]
+        )
+    elif pad_to is not None and pad_to < order.shape[0]:
+        order = jax.lax.slice(order, (0,), (pad_to,))
+    if slack:
+        order = jnp.concatenate([order, jnp.zeros(slack, jnp.int32)])
+    n_g = table.shape[0] // group
+    rows = table.reshape(n_g, group * 24)[order]
+    # keep the gather and the (M, 24) -> (24, M) transpose in separate XLA
+    # fusions: fused gather-into-transposed-layout degrades to per-element
+    # random access (70.8 s vs 0.2 s at 2^22 random rows, profile_gather.py)
+    (rows,) = jax.lax.optimization_barrier((rows,))
+    return rows.reshape(order.shape[0] * group, 24).T

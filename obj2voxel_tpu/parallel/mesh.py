@@ -77,10 +77,14 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
 
     def per_device(tableT, pixels, meta, r0, n_rows, local_base, z_lo, z_hi,
                    stride, is_blend, do_down):
+        # traced equivalent of engine.pass_scalars (np.array would fail on
+        # tracers; inside the shard_map the bundle is free anyway)
+        scal = jnp.stack([
+            r0[0], n_rows[0], local_base[0], z_lo[0], z_hi[0], stride,
+            is_blend.astype(jnp.int32), do_down.astype(jnp.int32),
+        ]).astype(jnp.int32)
         keys, chans, _xyz, _argb, count = _bucket_pass(
-            tableT, pixels, meta,
-            r0[0], n_rows[0], local_base[0], z_lo[0], z_hi[0],
-            stride, is_blend, do_down,
+            tableT, pixels, meta, scal,
             expand=expand, budget=budget, use_pallas=use_pallas,
             wide_local=wide_local, finalize=False,
         )

@@ -46,7 +46,8 @@ def main():
     rng = np.random.RandomState(0)
     res = 1024
 
-    from obj2voxel_tpu.engine import _bucket_pass, _bucket_pass_batch, build_tri_table
+    from obj2voxel_tpu.engine import (
+        _bucket_pass, _bucket_pass_batch, build_tri_table, pass_scalars)
     from obj2voxel_tpu.ops.combine import sort_channels
     from obj2voxel_tpu.ops.pass_fused import fused_pass_batch_pallas
 
@@ -129,9 +130,7 @@ def main():
         for i in range(B):
             outs.append(_bucket_pass(
                 tableT, pixels, meta,
-                r0s[i], jnp.int32(R), jnp.int32(0),
-                jnp.int32(0), jnp.int32(res), jnp.int32(res),
-                jnp.bool_(True), jnp.bool_(False),
+                pass_scalars(int(r0s[i]), R, 0, 0, res, res, True, False),
                 expand=expand, budget=budget, use_pallas=True,
                 finalize=False,
             ))

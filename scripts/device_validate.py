@@ -10,6 +10,9 @@ device and compares against the jnp oracle computed on the same device:
   3. fused_pass_pallas        vs engine._bucket_pass's XLA pipeline
      (also proves the in-kernel one-hot MXU expansion selects exactly:
      any inexactness shifts voxel coordinates and flips keys)
+  4. pack_channels_pallas     vs its NumPy oracle, and the fused pack=True
+     multi-pass path vs the sort-compacted path through a downstream merge
+     (round 4: in-kernel prefix compaction replaces the compaction sort)
 
 Integer outputs (keys, coords, counts, MAX selections) must match exactly;
 float weights are compared to a few ulps (XLA fuses mul+add chains
@@ -114,7 +117,7 @@ def validate_combine():
 
 
 def validate_fused():
-    from obj2voxel_tpu.engine import _bucket_pass, build_tri_table
+    from obj2voxel_tpu.engine import _bucket_pass, build_tri_table, pass_scalars
 
     BUDGET = 1 << 17
     pixels = jnp.zeros(1, jnp.uint32)
@@ -141,9 +144,7 @@ def validate_fused():
         for fused in (False, True):
             keys, chans, xyz, argb, count = _bucket_pass(
                 tableT, pixels, meta,
-                jnp.int32(0), jnp.int32(max(R - 1, 1)), jnp.int32(0),
-                jnp.int32(0), jnp.int32(res), jnp.int32(res),
-                jnp.bool_(False), jnp.bool_(False),
+                pass_scalars(0, max(R - 1, 1), 0, 0, res, res, False, False),
                 expand=expand, budget=BUDGET,
                 use_pallas=True, fused=fused,
             )
@@ -161,6 +162,83 @@ def validate_fused():
               f"(max dv {np.abs(v0 - v1).max() if c0 == c1 and c0 else 0:.2e})")
 
 
+def validate_pack():
+    from obj2voxel_tpu.engine import _bucket_pass, build_tri_table, pass_scalars
+    from obj2voxel_tpu.ops.combine import merge_combined
+    from obj2voxel_tpu.ops.pack_pallas import (
+        pack_channels_pallas, pack_channels_ref, _INV,
+    )
+
+    # 4a. standalone pack kernel vs the NumPy oracle
+    rng = np.random.RandomState(3)
+    P = 1 << 18
+    keys = rng.randint(0, 1 << 28, P).astype(np.int32)
+    keys[rng.rand(P) > 0.25] = _INV
+    chans_np = [rng.rand(P).astype(np.float32) for _ in range(4)]
+    chans_np = [np.where(keys == _INV, 0.0, c).astype(np.float32)
+                for c in chans_np]
+    pk, pch, cnt = pack_channels_pallas(
+        jnp.asarray(keys), tuple(jnp.asarray(c) for c in chans_np)
+    )
+    rk, rch, rcnt = pack_channels_ref(keys, chans_np)
+    cnt = int(cnt)
+    check("pack count", cnt == rcnt, f"({cnt})")
+    check("pack keys", np.array_equal(np.asarray(pk)[:cnt], rk[:cnt]))
+    check("pack values", all(
+        np.array_equal(np.asarray(a)[:cnt], b[:cnt])
+        for a, b in zip(pch, rch)
+    ))
+
+    # 4b. fused multi-pass path: pack=True (O2V_PACK default) vs the sort
+    # compaction (O2V_PACK=0), each fed through the slab merge -- the engine
+    # contract the pack kernel must uphold (order-preserving compaction makes
+    # the merge's stable sort see the same stream either way)
+    BUDGET = 1 << 17
+    expand = 64
+    res = 256
+    R = BUDGET // expand
+    rng = np.random.RandomState(7)
+    n = R + 8
+    span = 2.5
+    verts = rng.uniform(1, res - 1 - span, size=(n, 3, 3)).astype(np.float32)
+    verts[:, 1:, :] = verts[:, :1, :] + rng.uniform(
+        -span, span, size=(n, 2, 3)
+    ).astype(np.float32)
+    uvs = rng.rand(n, 3, 2).astype(np.float32)
+    types = np.full(n, 1, np.int32)
+    rgb = rng.rand(n, 3).astype(np.float32)
+    tex = np.full(n, -1, np.int32)
+    tableT = jnp.asarray(
+        np.ascontiguousarray(build_tri_table(verts, uvs, types, rgb, tex).T)
+    )
+    outs = []
+    for pack_on in ("1", "0"):
+        os.environ["O2V_PACK"] = pack_on
+        # O2V_PACK is read at TRACE time and is not part of the jit cache
+        # key; drop the memoized trace so each setting compiles its own
+        # program (the persistent compile cache keys on HLO, so this only
+        # re-traces)
+        _bucket_pass.clear_cache()
+        try:
+            keys, chans, _, _, count = _bucket_pass(
+                tableT, jnp.zeros(1, jnp.uint32), jnp.zeros((1, 4), jnp.int32),
+                pass_scalars(0, R - 1, 0, 0, res, res, True, False),
+                expand=expand, budget=BUDGET,
+                use_pallas=True, finalize=False, fused=True,
+            )
+        finally:
+            del os.environ["O2V_PACK"]
+        mk, mch, mc = merge_combined(keys, chans, jnp.bool_(True))
+        mc = int(mc)
+        outs.append((np.asarray(mk)[:mc],
+                     np.stack([np.asarray(c)[:mc] for c in mch], -1), mc))
+    (k1, v1, c1), (k0, v0, c0) = outs
+    check("pack-vs-sort merge count", c0 == c1, f"({c1})")
+    check("pack-vs-sort merge keys", np.array_equal(k0, k1))
+    check("pack-vs-sort merge values", np.array_equal(v0, v1),
+          "(bit-exact: identical per-key operand streams)")
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev.device_kind})", flush=True)
@@ -170,6 +248,7 @@ def main():
     validate_clip()
     validate_combine()
     validate_fused()
+    validate_pack()
     print(f"total {time.perf_counter() - t0:.1f} s; "
           f"{'ALL PASS' if not FAILURES else f'FAILURES: {FAILURES}'}")
     sys.exit(1 if FAILURES else 0)

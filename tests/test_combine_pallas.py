@@ -56,6 +56,42 @@ def test_kernel_matches_oracle(is_blend, n_keys):
     np.testing.assert_allclose(cv, ov[:oc], rtol=2e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("is_blend", [True, False])
+def test_combine_sorted_kernel_pack_path(is_blend):
+    """_combine_sorted_kernel at a pack-BLOCK-multiple size routes the tail
+    compaction through pack_exact_pallas (round 4); it must reproduce the
+    combine_sorted oracle exactly (keys/count; values to blend-sum tolerance)
+    INCLUDING the INVALID/zero tail past count that full-buffer consumers
+    (merge assembler, downscale re-merge) rely on."""
+    from obj2voxel_tpu.ops.combine import _combine_sorted_kernel
+
+    rng = np.random.RandomState(7)
+    P = 2 * 8192  # two pack blocks
+    keys = rng.randint(0, 600, P).astype(np.int32)
+    w = (rng.rand(P) + 0.01).astype(np.float32)
+    w[rng.rand(P) < 0.2] = 0.0
+    keys = np.where(w > 0, keys, int(INVALID_KEY)).astype(np.int32)
+    rgb = rng.rand(P, 3).astype(np.float32)
+
+    chans = premultiply(jnp.asarray(w), jnp.asarray(rgb))
+    sk, sch = sort_channels(jnp.asarray(keys), chans)
+    ok, och, oc = combine_sorted(sk, sch, is_blend)
+
+    kk, kch, kc = _combine_sorted_kernel(
+        sk, sch, jnp.bool_(is_blend), interpret=True
+    )
+    oc, kc = int(oc), int(kc)
+    assert kc == oc
+    np.testing.assert_array_equal(np.asarray(kk)[:oc], np.asarray(ok)[:oc])
+    # the tail contract: INVALID keys / zero channels past count
+    assert np.all(np.asarray(kk)[oc:] == int(INVALID_KEY))
+    for a, b in zip(kch, och):
+        np.testing.assert_allclose(
+            np.asarray(a)[:oc], np.asarray(b)[:oc], rtol=2e-6, atol=1e-7
+        )
+        assert np.all(np.asarray(a)[oc:] == 0.0)
+
+
 def test_max_tie_keeps_earliest():
     # two entries with identical weight for the same key: the earlier one
     # (stream order == sorted order via the stable sort) must win

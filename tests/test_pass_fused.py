@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from obj2voxel_tpu.engine import _bucket_pass, build_tri_table
+from obj2voxel_tpu.engine import _bucket_pass, build_tri_table, pass_scalars
 
 
 BUDGET = 1 << 14  # 2 kernel blocks
@@ -44,9 +44,7 @@ def _run(tableT, expand, n_rows, is_blend, fused, ref_weights=False):
     res = 64
     keys, chans, xyz, argb, count = _bucket_pass(
         tableT, pixels, meta,
-        jnp.int32(0), jnp.int32(n_rows), jnp.int32(0),
-        jnp.int32(0), jnp.int32(res), jnp.int32(res),
-        jnp.bool_(is_blend), jnp.bool_(False),
+        pass_scalars(0, n_rows, 0, 0, res, res, is_blend, False),
         expand=expand, budget=BUDGET, use_pallas=False,
         ref_weights=ref_weights, fused=fused,
     )
@@ -141,9 +139,8 @@ def test_batched_pass_matches_single(expand):
     for b in range(B):
         keys, chans, _, _, count = _bucket_pass(
             tableT, pixels, meta,
-            jnp.int32(r0s[b]), jnp.int32(n_rows[b]), jnp.int32(0),
-            jnp.int32(z_los[b]), jnp.int32(z_his[b]), jnp.int32(res),
-            jnp.bool_(False), jnp.bool_(False),
+            pass_scalars(r0s[b], n_rows[b], 0, z_los[b], z_his[b], res,
+                         False, False),
             expand=expand, budget=BUDGET, use_pallas=False,
             fused=True, finalize=False,
         )

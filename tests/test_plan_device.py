@@ -90,3 +90,110 @@ def test_device_plan_empty_mesh():
     table = jnp.asarray(build_tri_table(*padded))
     dev = plan_mesh_device(table, 0, 16, 16, 1 << 12)
     assert dev == (None, [])
+
+
+def test_gather_slack_tableT_matches_manual_gather():
+    # gather_slack returns the plan-order channel-major table directly; its
+    # live columns must equal gathering the plain order by hand
+    verts, uvs, types, rgb, tex = _random_table(500, 64, seed=4)
+    n_pad = _pow2_at_least(verts.shape[0])
+    padded = _pad_tris([verts, uvs, types, rgb, tex], n_pad)
+    table = jnp.asarray(build_tri_table(*padded))
+
+    order, segs = plan_mesh_device(table, 500, 64, 64, 1 << 14)
+    tableT, segs2 = plan_mesh_device(
+        table, 500, 64, 64, 1 << 14, gather_slack=64
+    )
+    assert segs2 == segs
+    m = segs[-1].r1
+    want = np.asarray(table)[np.asarray(order)[:m]].T
+    np.testing.assert_array_equal(np.asarray(tableT)[:, :m], want)
+    assert tableT.shape[0] == 24 and tableT.shape[1] >= m + 64
+
+
+@pytest.mark.parametrize("group", [2, 8])
+def test_group_plan_covers_host_plan(group):
+    """Group segments must cover every host-plan incidence with k_group >=
+    k_member, r0/r1 on group boundaries, and the gathered table in group
+    order (each group's triangle rows consecutive and untouched)."""
+    verts, uvs, types, rgb, tex = _random_table(700, 128, seed=5)
+    n_pad = _pow2_at_least(verts.shape[0])
+    padded = _pad_tris([verts, uvs, types, rgb, tex], n_pad)
+    table = jnp.asarray(build_tri_table(*padded))
+
+    host_order, host_segs = plan_mesh(
+        *_aabbs(verts, 128, 128), 128, 128, 1 << 16
+    )
+    order, segs1 = plan_mesh_device(table, 700, 128, 128, 1 << 16)
+    tableT, gsegs = plan_mesh_device(
+        table, 700, 128, 128, 1 << 16, gather_slack=32, group=group
+    )
+    tab = np.asarray(table)
+    tT = np.asarray(tableT)
+
+    # per-slab: group plan's member set ⊇ host plan's triangle set, with
+    # group k >= each covered member's host k
+    host_k = {}  # (z_lo, z_hi, tri) -> k
+    for s in host_segs:
+        for r in range(s.r0, s.r1):
+            host_k[(s.z_lo, s.z_hi, int(host_order[r]))] = s.k
+
+    seen = {}
+    for s in gsegs:
+        assert s.r0 % group == 0 and s.r1 % group == 0
+        for gr in range(s.r0 // group, s.r1 // group):
+            # the gathered columns must be the group's 8 consecutive rows
+            cols = tT[:, gr * group : (gr + 1) * group]
+            gid = None
+            for cand in range(tab.shape[0] // group):
+                if np.array_equal(
+                    cols, tab[cand * group : (cand + 1) * group].T
+                ):
+                    gid = cand
+                    break
+            assert gid is not None, "gathered group not found in table"
+            for j in range(group):
+                tri = gid * group + j
+                key = (s.z_lo, s.z_hi, tri)
+                if key in host_k:
+                    assert host_k[key] <= s.k
+                    seen[key] = True
+    assert set(seen) == set(host_k), "group plan missed host incidences"
+
+
+def _aabbs(verts, res, z_extent):
+    clamp_hi = np.array([res, res, z_extent], np.float32)
+    vmin = np.clip(np.floor(verts.min(axis=1)), 0, clamp_hi).astype(np.int64)
+    vmax = np.clip(np.floor(verts.max(axis=1)) + 1, 0, clamp_hi).astype(
+        np.int64
+    )
+    return vmin, vmax
+
+
+def test_group_engine_output_matches_ungrouped(monkeypatch):
+    """End-to-end: O2V_GROUP=8 and =1 produce identical voxels."""
+    import os
+
+    from obj2voxel_tpu.engine import TriangleSoup, voxelize_soup
+
+    rng = np.random.RandomState(0)
+    n = 300
+    soup = TriangleSoup(
+        verts=rng.rand(n, 3, 3).astype(np.float32),
+        uvs=np.zeros((n, 3, 2), np.float32),
+        types=np.full(n, 1, np.int32),
+        rgb=rng.rand(n, 3).astype(np.float32),
+        tex=np.full(n, -1, np.int32),
+    )
+
+    def run(g):
+        monkeypatch.setenv("O2V_GROUP", str(g))
+        out = {}
+        for xyz, argb in voxelize_soup(soup, resolution=64):
+            for p, c in zip(np.asarray(xyz), np.asarray(argb)):
+                out[tuple(p)] = int(c)
+        return out
+
+    a = run(8)
+    b = run(1)
+    assert a == b
