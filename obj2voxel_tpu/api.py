@@ -262,21 +262,21 @@ class Instance:
             if self._parallel and len(_jax.devices()) > 1:
                 # multi-chip path: z-sharded over the device mesh (reference
                 # chunk parallelism, obj2voxel.cpp:503-507)
-                from .parallel.mesh import voxelize_sharded
+                from .parallel.mesh import stream_sharded
 
-                def _stream():
-                    yield voxelize_sharded(
-                        soup,
-                        pool,
-                        resolution=self._resolution,
-                        supersampling=self._supersampling,
-                        strategy=self._strategy,
-                        unit_transform=self._unit_transform,
-                        bounds=self._bounds,
-                        pair_tile=self._pair_tile,
-                    )
-
-                batches = _stream()
+                # per-(round, device) batches stream straight to the sink,
+                # like the single-chip slab stream (round 5; the reference's
+                # sink order is likewise chunk-completion order)
+                batches = stream_sharded(
+                    soup,
+                    pool,
+                    resolution=self._resolution,
+                    supersampling=self._supersampling,
+                    strategy=self._strategy,
+                    unit_transform=self._unit_transform,
+                    bounds=self._bounds,
+                    pair_tile=self._pair_tile,
+                )
             else:
                 batches = voxelize_soup(
                     soup,

@@ -32,44 +32,35 @@ import jax
 
 # The slab kernels are compiled once per (budget, tile) size; persist the
 # executables so CLI invocations after the first skip the multi-minute XLA
-# compile.
+# remote compile.
+#
+# DEVICE ONLY.  The persistent cache is never enabled on the CPU platform:
+# XLA's CPU cache entries are AOT executables specialized to the exact host
+# CPU / XLA feature set, and its cache key covers neither, so a ~/.cache that
+# persists across container hosts serves stale AOT code (cpu_aot_loader
+# "machine type ... doesn't match ... SIGILL") -- the roving full-suite
+# segfault of rounds 3-4.  Round 4 keyed the directory by a /proc/cpuinfo
+# fingerprint, but (a) hosts with identical cpuinfo text can still differ in
+# XLA's derived feature set (MULTICHIP_r04 logged mismatches through the
+# fingerprinted dir), and (b) round 4 ALSO hit a second crash class, a
+# SIGSEGV inside compilation_cache.put_executable_and_time while *writing*
+# a large CPU executable mid-suite.  CPU compiles here are seconds each and
+# in-process jit caching already dedups within a run, so the persistent
+# cache buys little on CPU and costs the correctness gate; only the TPU
+# remote-compile service (minutes per kernel) needs it.  Set
+# O2V_COMPILE_CACHE=/path explicitly to force a cache on any platform.
 _cache_dir = _os.environ.get("O2V_COMPILE_CACHE")
 if _cache_dir is None:
-    _cache_dir = _os.path.expanduser("~/.cache/obj2voxel_tpu_xla")
-    # CPU runs (the pytest suite) get their own default directory: a CPU
-    # suite and a device job sharing one cache directory across processes
-    # correlated with rare hard crashes (SIGSEGV) in the XLA client
     _plat = getattr(jax.config, "jax_platforms", None) or _os.environ.get(
         "JAX_PLATFORMS", ""
     )
     # first platform in the priority list wins at runtime; the container
     # default is "axon,cpu", so a substring test ("cpu" in ...) misrouted
-    # DEVICE compiles into the _cpu directory
+    # DEVICE compiles into the CPU bucket
     if _plat and _plat.split(",")[0].strip() == "cpu":
-        # CPU cache entries are AOT executables specialized to the exact
-        # host CPU feature set, but XLA's cache key does NOT include it --
-        # ~/.cache persists across container hosts with different CPUs, and
-        # loading a mismatched AOT result SIGSEGVs/SIGILLs mid-suite
-        # (xla cpu_aot_loader: "machine type ... doesn't match ... could
-        # lead to execution errors such as SIGILL"; observed as the roving
-        # full-suite segfault in round 4).  Key the directory by a
-        # fingerprint of the host CPU model + flags.
-        import hashlib as _hashlib
-
-        try:
-            with open("/proc/cpuinfo") as _f:
-                _info = _f.read()
-            _sig = "".join(
-                line
-                for line in _info.splitlines()
-                if line.startswith(("model name", "flags"))
-            )[:4096]
-        except OSError:  # pragma: no cover - non-Linux fallback
-            import platform as _platform
-
-            _sig = _platform.processor() or _platform.machine()
-        _tag = _hashlib.sha1(_sig.encode()).hexdigest()[:10]
-        _cache_dir += f"_cpu_{_tag}"
+        _cache_dir = "0"
+    else:
+        _cache_dir = _os.path.expanduser("~/.cache/obj2voxel_tpu_xla")
 if _cache_dir and _cache_dir != "0":
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
@@ -292,7 +283,7 @@ def pass_scalars(r0, n_rows, local_base, z_lo, z_hi, stride,
     jax.jit,
     static_argnames=(
         "expand", "budget", "use_pallas", "ref_weights", "wide_local",
-        "finalize", "fused",
+        "finalize", "fused", "pack",
     ),
 )
 def _bucket_pass(
@@ -308,6 +299,7 @@ def _bucket_pass(
     wide_local=False,
     finalize=True,
     fused=None,
+    pack=True,
 ):
     """One fused pass over a contiguous run of same-bucket triangle rows.
 
@@ -366,8 +358,14 @@ def _bucket_pass(
         # double the 3.9 ms kernel itself
         from .ops.pass_fused import fused_pass_pallas
 
+        # `pack` is STATIC (threaded from the call site, which reads
+        # O2V_PACK per stream_slabs call): an env read here would bake the
+        # value of the FIRST trace into the jit cache and silently ignore
+        # later toggles in the same process — which handed the round-5
+        # merge-runs A/B slot-ordered pack outputs while the merge assumed
+        # key-sorted compact tails (probes/profile_merge_r5 first run)
         pass_combine = finalize or _os.environ.get("O2V_PASS_COMBINE") == "1"
-        if not pass_combine and _os.environ.get("O2V_PACK") != "0":
+        if not pass_combine and pack:
             # in-kernel pack: outputs arrive compacted (live prefix in slot
             # order + <128 INVALID/zero fillers per block); rows past cnt are
             # undefined and masked here to keep the compacted-buffer contract
@@ -528,7 +526,8 @@ def _bucket_pass(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("expand", "budget", "nbatch", "use_pallas", "ref_weights"),
+    static_argnames=("expand", "budget", "nbatch", "use_pallas", "ref_weights",
+                     "pack"),
 )
 def _bucket_pass_batch(
     tableT,
@@ -544,6 +543,7 @@ def _bucket_pass_batch(
     nbatch,
     use_pallas,
     ref_weights=False,
+    pack=True,
 ):
     """`nbatch` same-shape fused passes in ONE dispatch.
 
@@ -579,7 +579,7 @@ def _bucket_pass_batch(
          z_his, n_rows_s],
         axis=1,
     )
-    if _os.environ.get("O2V_PACK") != "0":
+    if pack:
         # in-kernel pack (round 4): each batch element's live pairs land as
         # a dense block-prefix in its own row range (ops/pack_pallas.py) --
         # no batched sort at all, so batching no longer pays the bitonic
@@ -610,23 +610,7 @@ def _bucket_pass_batch(
     return sk, schans, counts
 
 
-@functools.partial(
-    jax.jit, static_argnames=("stride", "do_downscale", "budget", "use_kernel")
-)
-def _merge_pass(keys, chans, z_lo, is_blend, *, stride, do_downscale, budget,
-                use_kernel=False):
-    """Merge concatenated per-pass compacted outputs and finalize.
-
-    chans: 4-tuple of (P,) premultiplied channels (channel-major: (P, 4)
-    value blocks made the merge concat alone cost 87 ms per 2^22 rows,
-    probes/profile_merge.py).
-    stride/do_downscale are STATIC (one value per run): constant divisors let
-    XLA strength-reduce the x/y/z key decode to multiply+shift instead of a
-    vector integer division over the whole merge buffer."""
-    if do_downscale:
-        keys = downscale_keys(keys, stride)
-    keys, chans, count = merge_combined(keys, chans, is_blend, use_kernel=use_kernel)
-
+def _finalize_merge(keys, chans, count, z_lo, *, stride, do_downscale):
     out_stride = stride // 2 if do_downscale else stride
     z_base = z_lo // 2 if do_downscale else z_lo
     x = keys % out_stride
@@ -637,21 +621,81 @@ def _merge_pass(keys, chans, z_lo, is_blend, *, stride, do_downscale, budget,
     return xyz, argb, count
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "do_downscale", "budget", "use_kernel",
+                     "stable"),
+)
+def _merge_pass(keys, chans, z_lo, is_blend, *, stride, do_downscale, budget,
+                use_kernel=False, stable=True):
+    """Merge concatenated per-pass compacted outputs and finalize.
+
+    chans: 4-tuple of (P,) premultiplied channels (channel-major: (P, 4)
+    value blocks made the merge concat alone cost 87 ms per 2^22 rows,
+    probes/profile_merge.py).
+    stride/do_downscale are STATIC (one value per run): constant divisors let
+    XLA strength-reduce the x/y/z key decode to multiply+shift instead of a
+    vector integer division over the whole merge buffer.
+    stable=False is valid only for BLEND (ops/combine.combine_channels)."""
+    if do_downscale:
+        keys = downscale_keys(keys, stride)
+    keys, chans, count = merge_combined(
+        keys, chans, is_blend, use_kernel=use_kernel, stable=stable
+    )
+    return _finalize_merge(
+        keys, chans, count, z_lo, stride=stride, do_downscale=do_downscale
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("stride", "budget", "n_block", "levels", "spad",
+                     "use_kernel", "interpret"),
+)
+def _merge_pass_runs(cat_keys, cat_chans, aoff, z_lo, is_blend, *, stride,
+                     budget, n_block, levels, spad, use_kernel=True,
+                     interpret=False):
+    """`_merge_pass` for KEY-SORTED runs: the initial 5-operand bitonic sort
+    is replaced by the merge-path Pallas kernel over the aligned-run layout
+    (ops/merge_pallas.py).  Valid only when every assembled run is key-sorted
+    (compact-sort pass tails, fold outputs) and without downscaling
+    (downscale_keys before a RE-sort is how the supersampled merge defines
+    its combine order; this path never re-sorts)."""
+    from .ops.combine import combine_presorted
+    from .ops.merge_pallas import merge_runs_pallas
+
+    keys, chans = merge_runs_pallas(
+        cat_keys, cat_chans, aoff, p=budget, n_block=n_block, levels=levels,
+        spad=spad, interpret=interpret,
+    )
+    keys = jax.lax.slice(keys, (0,), (budget,))
+    chans = tuple(jax.lax.slice(c, (0,), (budget,)) for c in chans)
+    keys, chans, count = combine_presorted(
+        keys, chans, is_blend, use_kernel=use_kernel, interpret=interpret
+    )
+    return _finalize_merge(
+        keys, chans, count, z_lo, stride=stride, do_downscale=False
+    )
+
+
 # --- pipeline --------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("budget", "use_kernel"))
-def _merge_keys(keys, chans, is_blend, *, budget, use_kernel=False):
+@functools.partial(jax.jit, static_argnames=("budget", "use_kernel", "stable"))
+def _merge_keys(keys, chans, is_blend, *, budget, use_kernel=False,
+                stable=True):
     """Device-side fold of concatenated compacted outputs -> compacted
     (keys, chans, count), still in slab-local key space."""
     del budget  # shape key only
-    return merge_combined(keys, chans, is_blend, use_kernel=use_kernel)
+    return merge_combined(
+        keys, chans, is_blend, use_kernel=use_kernel, stable=stable
+    )
 
 
 _ASM_CACHE: dict = {}
 
 
-def _make_assembler(shapes, pad_to):
+def _make_assembler(shapes, pad_to, out_len=None):
     """One-dispatch dense concat of compacted pass outputs.
 
     Replaces per-chunk host slicing (`keys[:p2]` — 5 device ops per pass,
@@ -666,12 +710,17 @@ def _make_assembler(shapes, pad_to):
 
     shapes: per-chunk keys shape — (P,) for single-pass buffers or (B, P)
     for rows of a batched `_bucket_pass_batch` output (the row index arrives
-    traced in `rows`, so batch membership costs no extra programs)."""
-    key = (tuple(shapes), pad_to)
+    traced in `rows`, so batch membership costs no extra programs).
+
+    out_len (>= pad_to) extends the returned INVALID/zero-initialized buffer
+    past pad_to: the merge-runs path needs window-DMA slack rows after the
+    logical P (ops/merge_pallas.merge_runs_pallas)."""
+    key = (tuple(shapes), pad_to, out_len)
     fn = _ASM_CACHE.get(key)
     if fn is not None:
         return fn
-    size = pad_to + max(s[-1] for s in shapes)
+    ret_len = out_len if out_len is not None else pad_to
+    size = ret_len + max(s[-1] for s in shapes)
 
     @jax.jit
     def asm(offsets, rows, ks, chs):
@@ -689,24 +738,32 @@ def _make_assembler(shapes, pad_to):
             buf_k = jax.lax.dynamic_update_slice(buf_k, k, (off,))
             for j in range(4):
                 buf_c[j] = jax.lax.dynamic_update_slice(buf_c[j], ch[j], (off,))
-        return buf_k[:pad_to], tuple(c[:pad_to] for c in buf_c)
+        return buf_k[:ret_len], tuple(c[:ret_len] for c in buf_c)
 
     _ASM_CACHE[key] = fn = asm
     return fn
 
 
-def _assemble_outputs(chunk, pad_to):
+def _assemble_outputs(chunk, pad_to, offsets=None, out_len=None):
     """chunk: list of (keys, chans 4-tuple, live_count[, batch_row]) with each
     buffer compacted (live prefix, INVALID/zero tail); keys is (P,) or (B, P)
     with batch_row selecting the row.  Returns the dense (pad_to,) concat of
-    the live prefixes, INVALID/zero padded."""
+    the live prefixes, INVALID/zero padded.
+
+    offsets (optional) overrides the dense cumulative-count placement, e.g.
+    with block-ALIGNED offsets for the merge-runs path: the gap rows between
+    a chunk's live count and the next offset keep the previous write's
+    INVALID/zero tail, so each run region stays key-sorted."""
     shapes = [item[0].shape for item in chunk]
-    offs = np.zeros(len(chunk), np.int64)
-    np.cumsum([item[2] for item in chunk[:-1]], out=offs[1:])
+    if offsets is None:
+        offs = np.zeros(len(chunk), np.int64)
+        np.cumsum([item[2] for item in chunk[:-1]], out=offs[1:])
+    else:
+        offs = np.asarray(offsets[: len(chunk)], np.int64)
     rows = np.asarray(
         [item[3] if len(item) > 3 else 0 for item in chunk], np.int32
     )
-    asm = _make_assembler(shapes, pad_to)
+    asm = _make_assembler(shapes, pad_to, out_len)
     return asm(
         jnp.asarray(offs, jnp.int32),
         jnp.asarray(rows),
@@ -715,7 +772,23 @@ def _assemble_outputs(chunk, pad_to):
     )
 
 
-def _fold_outputs(chunk, is_blend, use_pallas):
+def plan_fold_chunks(sizes, cap):
+    """Partition indices [0, len) into consecutive groups whose size sums
+    stay <= cap (a group always takes at least one item).  The hierarchical
+    fold ladder shared by stream_slabs and parallel.mesh.stream_sharded."""
+    groups, cur, acc = [], [], 0
+    for i, s in enumerate(sizes):
+        if cur and acc + s > cap:
+            groups.append(cur)
+            cur, acc = [], 0
+        cur.append(i)
+        acc += s
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _fold_outputs(chunk, is_blend, use_pallas, stable=True):
     """Merge a chunk of compacted output entries (same entry layout as
     `_assemble_outputs`) into one full-buffer compacted output (kept
     unsliced; the live count rides along)."""
@@ -728,6 +801,7 @@ def _fold_outputs(chunk, is_blend, use_pallas):
         jnp.bool_(is_blend),
         budget=pad_to,
         use_kernel=use_pallas,
+        stable=stable,
     )
     return keys, chans, int(count)
 
@@ -1019,12 +1093,24 @@ def stream_slabs(
         # the cost of group-max bucket slots (mesh-local neighbors rarely
         # differ much).  G=1 restores the per-triangle plan.
         group = int(_os.environ.get("O2V_GROUP", "8"))
+        # slab-count hint for the fused planner's speculative stage-2 width:
+        # ceil(total slot estimate / per-slab budget).  The greedy packer's
+        # slab count is >= this by at most boundary-alignment slack, and the
+        # _S_LADDER pow2 rounding absorbs most of that; keep the hint TIGHT --
+        # a too-wide s_pad doubles the stage-2 sort AND the early gather's
+        # dead tail (measured as a ~0.2 s bench regression when 1.5x margin
+        # pushed the 2M bench from s_pad=4 to 8), while a too-narrow one
+        # costs a rare second stage-2 dispatch + pull
+        ext = (vmax_h.astype(np.int64) - vmin_h.astype(np.int64)).clip(min=0)
+        est_slots = float(ext.prod(axis=1, dtype=np.int64).sum())
+        slab_hint = int(est_slots / (4 * max_budget)) + 1
         tableT_dev, segments = plan_mesh_device(
             tri_table, vmin_h.shape[0], stride, z_extent,
             slot_budget=4 * max_budget,
             timing=timing,
             gather_slack=max_budget,
             group=group,
+            slab_hint=slab_hint,
         )
     if tableT_dev is not None:
         m = segments[-1].r1
@@ -1079,6 +1165,9 @@ def stream_slabs(
     from .ops.pass_fused import BLOCK as _FUSED_BLOCK
 
     WAVE_STATS.update(passes=0, dispatches=0, batched=0)
+    # in-kernel pack vs sort-based compact for NON-finalizing pass tails;
+    # read per call and threaded as a STATIC arg (see _bucket_pass)
+    pass_pack = _os.environ.get("O2V_PACK") != "0"
     # Batching is OFF by default: the measured A/B on the chip (round 3,
     # 2M @ 1024^3) is 0.92 s unbatched vs 1.14 s batched — per-pass device
     # time dominates the ~6 ms dispatch floor it amortizes, and both the
@@ -1143,6 +1232,7 @@ def stream_slabs(
                 ref_weights=ref_weights,
                 wide_local=wide_local,
                 finalize=not multi,
+                pack=pass_pack,
             )
             st["handles"][pi] = ("s", handle, len(count_parts))
             count_parts.append(handle[4])
@@ -1166,7 +1256,7 @@ def stream_slabs(
                                      sample_res, is_blend, False),
                         expand=expand, budget=budget, use_pallas=use_pallas,
                         ref_weights=ref_weights, wide_local=False,
-                        finalize=False,
+                        finalize=False, pack=pass_pack,
                     )
                     st["handles"][pi] = ("s", handle, len(count_parts))
                     count_parts.append(handle[4])
@@ -1182,6 +1272,7 @@ def stream_slabs(
                     jnp.asarray(arrs[:, 4]), jnp.int32(sample_res),
                     expand=expand, budget=budget, nbatch=B,
                     use_pallas=use_pallas, ref_weights=ref_weights,
+                    pack=pass_pack,
                 )
                 base = len(count_parts)
                 count_parts.append(bh[2])
@@ -1246,6 +1337,32 @@ def stream_slabs(
         # dispatch the device-side slab merges (hierarchical fold for slabs
         # whose compacted outputs exceed the top merge rung; the round-1 host
         # fallback pulled every pass's rows over the ~15 MB/s relay)
+        #
+        # BLEND merges COULD sort unstably (segment sums are order-free,
+        # ops/combine.py docstring), but the measured A/B found no win --
+        # XLA's TPU sort costs the same either way (probes/profile_merge_r5:
+        # stable 0.654 s vs unstable 0.709 s medians e2e) -- so stable stays
+        # the default and O2V_MERGE_STABLE=0 keeps the experiment reachable.
+        merge_stable = not (
+            is_blend and _os.environ.get("O2V_MERGE_STABLE") == "0"
+        )
+        # merge-runs path (O2V_MERGE_RUNS=1): replace the merge's bitonic
+        # sort with the merge-path Pallas kernel over already-sorted runs.
+        # Requires sort-based pass compaction (compact_channels) so each
+        # assembled run is key-sorted: the default in-kernel PACK keeps
+        # slot order, so this path only applies with O2V_PACK=0 (or the
+        # XLA fallback paths), and never under downscaling (the supersampled
+        # merge defines its combine order by sorting AFTER downscale_keys).
+        pass_runs_sorted = (
+            not pass_pack
+            or not use_pallas
+            or _os.environ.get("O2V_FUSED") == "0"
+        )
+        merge_runs_on = (
+            _os.environ.get("O2V_MERGE_RUNS") == "1"
+            and pass_runs_sorted
+            and not do_down
+        )
         merged = []
         for st in wave:
             if st["n"] == 1 or not st["outputs"]:
@@ -1254,18 +1371,16 @@ def stream_slabs(
             pass_outputs = st["outputs"]
             while sum(item[2] for item in pass_outputs) > MERGE_LADDER[-1]:
                 before = sum(item[2] for item in pass_outputs)
-                folded, chunk, rows = [], [], 0
-                for item in pass_outputs:
-                    if rows and rows + item[2] > MERGE_LADDER[-1]:
-                        folded.append(_fold_outputs(chunk, is_blend, use_pallas))
-                        chunk, rows = [], 0
-                    chunk.append(item)
-                    rows += item[2]
-                if len(chunk) == len(pass_outputs):
+                groups = plan_fold_chunks(
+                    [item[2] for item in pass_outputs], MERGE_LADDER[-1]
+                )
+                if len(groups) == 1:
                     break  # nothing left to fold (single oversized chunk)
-                if chunk:
-                    folded.append(_fold_outputs(chunk, is_blend, use_pallas))
-                pass_outputs = folded
+                pass_outputs = [
+                    _fold_outputs([pass_outputs[i] for i in g], is_blend,
+                                  use_pallas, stable=merge_stable)
+                    for g in groups
+                ]
                 if sum(item[2] for item in pass_outputs) >= before:
                     # > 2^25 distinct live voxels in one slab: folding cannot
                     # shrink further; fall through to one oversized merge
@@ -1273,6 +1388,40 @@ def stream_slabs(
                     break
 
             total_rows = sum(item[2] for item in pass_outputs)
+            if merge_runs_on and len(pass_outputs) <= 32:
+                from .ops.merge_pallas import (
+                    _WIN_PAD, build_aoff, pick_block, plan_runs,
+                )
+
+                n_blk = pick_block(total_rows)
+                offs, levels, spad = plan_runs(
+                    [item[2] for item in pass_outputs], n_blk
+                )
+                merge_pad = next(
+                    (b for b in MERGE_LADDER if b >= offs[-1]),
+                    _pow2_at_least(offs[-1]),
+                )
+                merge_pad = max(merge_pad, n_blk)
+                out_len = merge_pad + (n_blk // 128 + _WIN_PAD) * 128
+                cat_keys, cat_chans = _assemble_outputs(
+                    pass_outputs, merge_pad, offsets=offs, out_len=out_len
+                )
+                handle = _merge_pass_runs(
+                    cat_keys,
+                    cat_chans,
+                    jnp.asarray(build_aoff(offs, spad, merge_pad)),
+                    jnp.int32(st["z_lo"]),
+                    jnp.bool_(is_blend),
+                    stride=sample_res,
+                    budget=merge_pad,
+                    n_block=n_blk,
+                    levels=levels,
+                    spad=spad,
+                    use_kernel=use_pallas,
+                    interpret=not use_pallas,
+                )
+                merged.append((st, handle))
+                continue
             merge_pad = next((b for b in MERGE_LADDER if b >= total_rows),
                              _pow2_at_least(total_rows))
             cat_keys, cat_chans = _assemble_outputs(pass_outputs, merge_pad)
@@ -1285,6 +1434,7 @@ def stream_slabs(
                 do_downscale=do_down,
                 budget=merge_pad,
                 use_kernel=use_pallas,
+                stable=merge_stable,
             )
             merged.append((st, handle))
 

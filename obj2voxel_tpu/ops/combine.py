@@ -188,19 +188,34 @@ def combine_pairs(keys, weight, rgb, is_blend, use_kernel=False):
     return combine_channels(keys, premultiply(weight, rgb), is_blend, use_kernel)
 
 
-def combine_channels(keys, chans, is_blend, use_kernel=False):
-    """Sort + reduce + compact a premultiplied channel stream (keys already
-    INVALID_KEY-masked for dead entries, e.g. by the fused pass kernel)."""
-    sorted_keys, schans = sort_channels(keys, chans)
+def combine_presorted(sorted_keys, schans, is_blend, use_kernel=False,
+                      interpret=False):
+    """Reduce + compact an already key-sorted premultiplied stream (the
+    post-sort half of `combine_channels`; also the entry point for streams
+    sorted by ops/merge_pallas.merge_runs_pallas)."""
     if use_kernel and sorted_keys.shape[0] % 2048 == 0:
-        return _combine_sorted_kernel(sorted_keys, schans, is_blend)
+        return _combine_sorted_kernel(
+            sorted_keys, schans, is_blend, interpret=interpret
+        )
     return combine_sorted(sorted_keys, schans, is_blend)
 
 
-def merge_combined(keys, chans, is_blend, use_kernel=False):
+def combine_channels(keys, chans, is_blend, use_kernel=False, stable=True):
+    """Sort + reduce + compact a premultiplied channel stream (keys already
+    INVALID_KEY-masked for dead entries, e.g. by the fused pass kernel).
+
+    stable=False drops the sort's stability guarantee: valid ONLY for BLEND
+    (segment sums are order-free up to float association, which PARITY.md's
+    fidelity scope already excludes); MAX needs stream order for its
+    earliest-wins tie-break (reference util.hpp:167-172)."""
+    sorted_keys, schans = sort_channels(keys, chans, is_stable=stable)
+    return combine_presorted(sorted_keys, schans, is_blend, use_kernel)
+
+
+def merge_combined(keys, chans, is_blend, use_kernel=False, stable=True):
     """Merge concatenated compacted (keys, chans) lists: one more
     sort+combine."""
-    return combine_channels(keys, chans, is_blend, use_kernel)
+    return combine_channels(keys, chans, is_blend, use_kernel, stable=stable)
 
 
 def downscale_keys(keys, stride):

@@ -66,6 +66,98 @@ def _stage1(table, n_sub, *, stride, z_extent):
     return per_row, vmin, vmax
 
 
+#: device slab-scan boundary-slot cap (> MAX_DEVICE_SLABS so overflow is
+#: detectable: the count keeps incrementing while writes clamp)
+_SCAN_SLOTS = MAX_DEVICE_SLABS + 2
+
+
+def _device_slabs(per_row, z_extent, slot_budget, max_h_even):
+    """slabs_from_rows (align=2) as a device scan over z-row PAIRS.
+
+    Pair granularity is equivalent to the host's per-row greedy + align-down:
+    per-row prefix sums are nondecreasing, so the largest feasible even
+    boundary equals the largest feasible boundary rounded down to even, and
+    both sides force a minimum height of 2 (expand_bucket.slabs_from_rows;
+    parity asserted by tests/test_plan_device.py).
+
+    Returns (bounds (_SCAN_SLOTS+1,) int32, n_slabs int32): slab i spans
+    [bounds[i], bounds[i+1]) for i < min(n_slabs, _SCAN_SLOTS).  n_slabs >
+    MAX_DEVICE_SLABS signals the host-planner fallback."""
+    rows = per_row.shape[0]
+    fv = jnp.floor(per_row)  # host loop truncates each f32 row count
+    if rows % 2:
+        fv = jnp.concatenate([fv, jnp.zeros((1,), fv.dtype)])
+    pv = fv.reshape(-1, 2).sum(axis=1)
+    budget = jnp.float32(slot_budget)
+
+    def step(carry, tv):
+        start, acc, nsl, bounds = carry
+        t, v = tv
+        z = 2 * t
+        h = z - start
+        take = (h == 0) | ((acc + v <= budget) & (h < max_h_even))
+        close = ~take
+        nsl2 = nsl + close.astype(jnp.int32)
+        idx = jnp.minimum(nsl2, _SCAN_SLOTS)
+        bounds = bounds.at[idx].set(jnp.where(close, z, bounds[idx]))
+        return (
+            jnp.where(take, start, z),
+            jnp.where(take, acc + v, v),
+            nsl2,
+            bounds,
+        ), None
+
+    t_ids = jnp.arange(pv.shape[0], dtype=jnp.int32)
+    init = (
+        jnp.int32(0),
+        jnp.float32(0),
+        jnp.int32(0),
+        jnp.zeros(_SCAN_SLOTS + 1, jnp.int32),
+    )
+    (_, _, nsl, bounds), _ = jax.lax.scan(
+        step, init, (t_ids, pv), unroll=8
+    )
+    n_slabs = nsl + 1
+    bounds = bounds.at[jnp.minimum(n_slabs, _SCAN_SLOTS)].set(z_extent)
+    return bounds, n_slabs
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "z_extent", "slot_budget", "s_pad",
+                              "group")
+)
+def _stage12(table, n_sub, *, stride, z_extent, slot_budget, s_pad, group):
+    """Fused single-pull planner: stage 1 + device slab scan + stage 2.
+
+    Round-5 replacement for the two-blocking-pull flow (each pull costs
+    ~33 ms through the relay regardless of size): the host slab loop runs ON
+    DEVICE (`_device_slabs`) so slab boundaries feed stage 2 without a
+    round-trip, and ONE pull returns [n_slabs, slab bounds, segment bounds].
+    s_pad is SPECULATIVE (n_slabs is unknown at dispatch): the caller
+    escalates to a bigger `_stage2` (second pull, rare) when
+    n_slabs > s_pad, or to the host planner when n_slabs >
+    MAX_DEVICE_SLABS."""
+    per_row, vmin, vmax = _stage1(
+        table, n_sub, stride=stride, z_extent=z_extent
+    )
+    max_h_keys = max(2, (2**31 - 2) // (stride * stride))
+    sbounds, n_slabs = _device_slabs(
+        per_row, z_extent, slot_budget, 2 * (max_h_keys // 2)
+    )
+    sid = jnp.arange(s_pad, dtype=jnp.int32)
+    ok = sid < jnp.minimum(n_slabs, s_pad)
+    starts = jnp.where(ok, sbounds[jnp.minimum(sid, _SCAN_SLOTS)], z_extent)
+    stops = jnp.where(
+        ok, sbounds[jnp.minimum(sid + 1, _SCAN_SLOTS)], z_extent
+    )
+    stri, bounds = _stage2(
+        vmin, vmax, n_sub, starts, stops, jnp.minimum(n_slabs, s_pad),
+        s_pad=s_pad, group=group,
+    )
+    info = jnp.concatenate([n_slabs[None], sbounds, bounds.astype(jnp.int32)])
+    return stri, info, vmin, vmax
+
+
 @functools.partial(jax.jit, static_argnames=("s_pad", "group"))
 def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad, group=1):
     """Stable-sort (slab*64 + k) keys over all (group, slab) incidences.
@@ -119,14 +211,24 @@ def _stage2(vmin, vmax, n_sub, starts, stops, n_slabs, *, s_pad, group=1):
 
 #: early-gather cap: `gather_slack` gathers at stri's FULL static size
 #: (N_pad * s_pad + slack) before `m` is known; past this many rows the
-#: dead-tail waste (and the (24, M) device buffer) outgrows the overlap win,
-#: so the caller falls back to the post-pull m_pad-sized gather
-MAX_EARLY_GATHER_ROWS = 1 << 24
+#: dead-tail waste (and the (24, M) device buffer, ~96 B/row) outgrows the
+#: overlap win, so the caller falls back to the post-pull m_pad-sized gather
+MAX_EARLY_GATHER_ROWS = 1 << 25
 
 
 def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
-                     timing=False, gather_slack=None, group=1):
+                     timing=False, gather_slack=None, group=1,
+                     slab_hint=None):
     """Plan the full pass schedule with the sort on device.
+
+    Default flow (round 5) is the SINGLE-PULL fused planner `_stage12`: the
+    slab-boundary greedy loop runs on device between stages 1 and 2, so the
+    ~33 ms relay pull that used to feed the host slab loop disappears.  The
+    stage-2 key width s_pad must be chosen BEFORE n_slabs is known; it is
+    speculated from `slab_hint` (the caller's host-side slot-count estimate,
+    in slabs) and escalated with a second `_stage2` dispatch + pull when the
+    speculation was too narrow (rare).  O2V_PLAN_FUSED=0 restores the
+    two-pull flow.
 
     table:  (N_pad, 24) device-resident triangle row table (build_tri_table).
     n_sub:  number of real (unpadded) rows.
@@ -156,7 +258,102 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
     return would be in group units); G>1 plans are NOT bit-comparable to the
     host planner.
     """
+    import os as _os
     import time as _time
+
+    if group > 1 and gather_slack is None:
+        raise ValueError("group > 1 requires gather_slack (see docstring)")
+    slack_g = None
+    if gather_slack is not None:
+        slack_g = -(-int(gather_slack) // group)
+
+    def early_gather(stri):
+        if gather_slack is None:
+            return None
+        if (stri.shape[0] + slack_g) * group <= MAX_EARLY_GATHER_ROWS:
+            return _gather_ordered(table, stri, slack=slack_g, group=group)
+        return None
+
+    def finish(stri, tableT, bounds_h, starts, stops, s_pad):
+        segments = []
+        for i in range(s_pad * 64):
+            r0, r1 = int(bounds_h[i]), int(bounds_h[i + 1])
+            if r1 == r0:
+                continue
+            s = i // 64
+            # segments are ALWAYS in triangle-row units (bounds: group units)
+            segments.append(
+                Segment(int(starts[s]), int(stops[s]), i % 64,
+                        r0 * group, r1 * group)
+            )
+        if not segments:
+            return None, []
+        if gather_slack is None:
+            return stri, segments
+        if tableT is None:
+            # capped: gather after the pull at the tight m_pad size (the
+            # early gather's dead-tail waste would outweigh the overlap win)
+            m_g = segments[-1].r1 // group
+            m_pad_g = 1 << max(int(m_g + slack_g - 1).bit_length(), 10)
+            tableT = _gather_ordered(
+                table, stri, slack=0, group=group, pad_to=m_pad_g
+            )
+        return tableT, segments
+
+    def pad_slabs(slabs, s_pad):
+        starts = np.full(s_pad, z_extent, np.int32)
+        stops = np.full(s_pad, z_extent, np.int32)
+        starts[: len(slabs)] = [s[0] for s in slabs]
+        stops[: len(slabs)] = [s[1] for s in slabs]
+        return starts, stops
+
+    if _os.environ.get("O2V_PLAN_FUSED") != "0":
+        # single-pull fused flow; s_pad speculated from the caller's hint
+        hint = max(1, int(slab_hint) if slab_hint else 8)
+        s_pad = next(
+            (s for s in _S_LADDER if s >= hint), _S_LADDER[-1]
+        )
+        _t0 = _time.perf_counter() if timing else 0.0
+        stri, info, vmin, vmax = _stage12(
+            table, jnp.int32(n_sub), stride=stride, z_extent=z_extent,
+            slot_budget=slot_budget, s_pad=s_pad, group=group,
+        )
+        tableT = early_gather(stri)
+        info_h = np.asarray(info)  # THE one blocking pull
+        n_slabs = int(info_h[0])
+        sbounds = info_h[1 : _SCAN_SLOTS + 2]
+        bounds_h = info_h[_SCAN_SLOTS + 2 :]
+        if timing:
+            print(
+                f"[o2v-timing]   plan: fused stage12+pull "
+                f"{(_time.perf_counter() - _t0) * 1000:.0f}ms "
+                f"(s_pad={s_pad}, n_slabs={n_slabs})",
+                flush=True,
+            )
+        if n_slabs > MAX_DEVICE_SLABS:
+            return None, None  # host fallback (e.g. batch mode)
+        slabs = [(int(sbounds[i]), int(sbounds[i + 1]))
+                 for i in range(n_slabs)]
+        if n_slabs > s_pad:
+            # speculation too narrow: redo stage 2 at the real width
+            # (second pull; rare -- the hint covers the common cases)
+            s_pad = next(s for s in _S_LADDER if s >= n_slabs)
+            starts, stops = pad_slabs(slabs, s_pad)
+            stri, bounds = _stage2(
+                vmin, vmax, jnp.int32(n_sub),
+                jnp.asarray(starts), jnp.asarray(stops),
+                jnp.int32(n_slabs), s_pad=s_pad, group=group,
+            )
+            tableT = early_gather(stri)
+            bounds_h = np.asarray(bounds)
+            if timing:
+                print(
+                    f"[o2v-timing]   plan: s_pad escalation -> {s_pad}",
+                    flush=True,
+                )
+        else:
+            starts, stops = pad_slabs(slabs, s_pad)
+        return finish(stri, tableT, bounds_h, starts, stops, s_pad)
 
     _t0 = _time.perf_counter() if timing else 0.0
     per_row, vmin, vmax = _stage1(
@@ -171,13 +368,8 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
         return None, None  # host fallback
 
     s_pad = next(s for s in _S_LADDER if s >= len(slabs))
-    starts = np.full(s_pad, z_extent, np.int32)
-    stops = np.full(s_pad, z_extent, np.int32)
-    starts[: len(slabs)] = [s[0] for s in slabs]
-    stops[: len(slabs)] = [s[1] for s in slabs]
+    starts, stops = pad_slabs(slabs, s_pad)
 
-    if group > 1 and gather_slack is None:
-        raise ValueError("group > 1 requires gather_slack (see docstring)")
     _t2 = _time.perf_counter() if timing else 0.0
     stri, bounds = _stage2(
         vmin,
@@ -189,12 +381,7 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
         s_pad=s_pad,
         group=group,
     )
-    tableT = None
-    slack_g = None
-    if gather_slack is not None:
-        slack_g = -(-int(gather_slack) // group)
-        if (stri.shape[0] + slack_g) * group <= MAX_EARLY_GATHER_ROWS:
-            tableT = _gather_ordered(table, stri, slack=slack_g, group=group)
+    tableT = early_gather(stri)
     bounds_h = np.asarray(bounds)
     if timing:
         _t3 = _time.perf_counter()
@@ -204,31 +391,7 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
             f"stage2+pull {(_t3 - _t2) * 1000:.0f}ms (s_pad={s_pad})",
             flush=True,
         )
-
-    segments = []
-    for i in range(s_pad * 64):
-        r0, r1 = int(bounds_h[i]), int(bounds_h[i + 1])
-        if r1 == r0:
-            continue
-        s = i // 64
-        # segments are ALWAYS in triangle-row units (bounds are group units)
-        segments.append(
-            Segment(int(starts[s]), int(stops[s]), i % 64,
-                    r0 * group, r1 * group)
-        )
-    if not segments:
-        return None, []
-    if gather_slack is None:
-        return stri, segments
-    if tableT is None:
-        # capped: gather after the pull at the tight m_pad size (the early
-        # gather's dead-tail waste would outweigh the overlap win)
-        m_g = segments[-1].r1 // group
-        m_pad_g = 1 << max(int(m_g + slack_g - 1).bit_length(), 10)
-        tableT = _gather_ordered(
-            table, stri, slack=0, group=group, pad_to=m_pad_g
-        )
-    return tableT, segments
+    return finish(stri, tableT, bounds_h, starts, stops, s_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("slack", "group", "pad_to"))

@@ -26,6 +26,17 @@ engine.MERGE_LADDER, so merge program size is bounded by live rows -- the
 round-2 version concatenated full budget-sized buffers, growing merges
 linearly with pass count.
 
+Round 5 (engine parity, VERDICT round-4 item 5): per-round planning runs ON
+DEVICE through the same `ops.plan_device._stage2` as the single-chip engine
+-- one (triangle x device-window) key sort, ONE bounds pull, and the grouped
+(O2V_GROUP) wide-row plan-order gather -- replacing D host `plan_mesh` calls
+and the narrow host-order upload per round.  Final outputs are pulled
+count-sliced per device (pow2 ladder) instead of full merge buffers, and
+`voxelize_sharded` is now a thin collector over `stream_sharded`, a
+generator that yields per (round, device) batches so the API layer streams
+them straight into the sink like the single-chip path (the reference's sink
+order is likewise chunk-completion order, obj2voxel.cpp:298-303).
+
 Scaling model: tall grids are processed as LOCKSTEP sub-slabs (every device
 window is split by the same int32-key height cap), so arbitrarily large
 resolutions stream with bounded memory exactly like the single-chip engine.
@@ -49,11 +60,12 @@ from ..engine import (
     _pow2_at_least,
     _schedule_passes,
     build_tri_table,
+    plan_fold_chunks,
 )
 from ..geometry import compute_mesh_transform, mesh_bounds
 from ..ops.color import TexturePool
 from ..ops.combine import INVALID_KEY
-from ..ops.plan import Segment, plan_mesh
+from ..ops.plan import Segment
 from ..ops.subdivide import subdivide_soup
 
 _PASS_CACHE: dict = {}
@@ -69,8 +81,9 @@ def _device_windows(z_extent: int, n_devices: int, align: int = 2):
     return [(min(d * h, z_extent), min((d + 1) * h, z_extent)) for d in range(n_devices)], h
 
 
-def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
-    key = (id(mesh), expand, budget, use_pallas, wide_local)
+def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False,
+                  pack=True):
+    key = (id(mesh), expand, budget, use_pallas, wide_local, pack)
     fn = _PASS_CACHE.get(key)
     if fn is not None:
         return fn
@@ -86,7 +99,7 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False):
         keys, chans, _xyz, _argb, count = _bucket_pass(
             tableT, pixels, meta, scal,
             expand=expand, budget=budget, use_pallas=use_pallas,
-            wide_local=wide_local, finalize=False,
+            wide_local=wide_local, finalize=False, pack=pack,
         )
         return (keys[None],) + tuple(c[None] for c in chans) + (count[None],)
 
@@ -191,6 +204,24 @@ def _fold_group(group, mesh, n_devices, is_blend, use_pallas):
 def voxelize_sharded(
     soup: TriangleSoup,
     pool: TexturePool | None = None,
+    **kwargs,
+):
+    """Voxelize across a device mesh; returns (xyz (K,3) int32, argb (K,) u32).
+
+    Collector over `stream_sharded` (kept for callers that want the whole
+    grid at once; the API layer streams batches straight to the sink)."""
+    out_xyz, out_argb = [], []
+    for xyz, argb in stream_sharded(soup, pool, **kwargs):
+        out_xyz.append(xyz)
+        out_argb.append(argb)
+    if not out_xyz:
+        return np.zeros((0, 3), np.int32), np.zeros((0,), np.uint32)
+    return np.concatenate(out_xyz), np.concatenate(out_argb)
+
+
+def stream_sharded(
+    soup: TriangleSoup,
+    pool: TexturePool | None = None,
     *,
     resolution: int,
     strategy: int = MAX_STRATEGY,
@@ -203,7 +234,8 @@ def voxelize_sharded(
     max_pass_budget: int = MAX_PASS_BUDGET,
     tile_size: int | None = None,
 ):
-    """Voxelize across a device mesh; returns (xyz (K,3) int32, argb (K,) u32).
+    """Voxelize across a device mesh; yields (xyz (K,3) int32, argb (K,) u32)
+    batches per (sub-slab round, device), count-sliced on device.
 
     Output matches the single-chip engine voxel-for-voxel (same pass kernels,
     same combine semantics; z-disjoint slabs make merge order irrelevant).
@@ -221,9 +253,8 @@ def voxelize_sharded(
     use_pallas = jax.default_backend() != "cpu"
 
     n = len(soup)
-    empty = (np.zeros((0, 3), np.int32), np.zeros((0,), np.uint32))
     if n == 0:
-        return empty
+        return
 
     sample_res = resolution * supersampling
     is_blend = bool(strategy == BLEND_STRATEGY)
@@ -247,10 +278,6 @@ def voxelize_sharded(
     pixels = jnp.asarray(pixels_np)
     meta = jnp.asarray(meta_np)
 
-    clamp_hi = np.array([sample_res, sample_res, sample_res], np.float32)
-    vmin_h = np.clip(np.floor(verts_host.min(axis=1)), 0, clamp_hi).astype(np.int64)
-    vmax_h = np.clip(np.floor(verts_host.max(axis=1)) + 1, 0, clamp_hi).astype(np.int64)
-
     n_pad = _pow2_at_least(verts_host.shape[0])
     table = jnp.asarray(
         build_tri_table(
@@ -266,44 +293,78 @@ def voxelize_sharded(
     sub_h = min(win_h, max_h)
     n_sub = -(-win_h // sub_h)
 
-    out_xyz, out_argb = [], []
+    # device planning shared with the single-chip engine (round 5): the
+    # round's D device windows ARE the planner's slabs, so one _stage2 sort +
+    # one bounds pull + one grouped wide-row gather replaces D host plans and
+    # the narrow host-order upload per round (ops/plan_device.py docstring)
+    import os as _os
+
+    from ..ops.plan_device import (
+        MAX_EARLY_GATHER_ROWS,
+        _gather_ordered,
+        _stage1,
+        _stage2,
+    )
+
+    group = int(_os.environ.get("O2V_GROUP", "8"))
+    n_real = verts_host.shape[0]
+    _, vmin_d, vmax_d = _stage1(
+        table, jnp.int32(n_real), stride=sample_res, z_extent=sample_res,
+    )
+    s_pad = 1
+    while s_pad < n_devices:
+        s_pad *= 2
+    slack_g = -(-max_budget // group)
+
     for s in range(n_sub):
-        # --- plan this sub-slab round on every device ------------------------
-        per_dev = []
-        all_order = []
-        base = 0
-        for w0, w1 in windows:
-            z0 = min(w0 + s * sub_h, w1)
-            z1 = min(z0 + sub_h, w1)
-            order_d, segs_d = plan_mesh(
-                vmin_h, vmax_h, sample_res, sample_res,
-                slot_budget=4 * max_budget, z_window=(z0, z1),
-            )
-            if order_d is None:
-                per_dev.append({})
+        # --- plan this sub-slab round: all device windows in one sort --------
+        z0s = [min(w0 + s * sub_h, w1) for w0, w1 in windows]
+        z1s = [min(z0 + sub_h, w1) for z0, (w0, w1) in zip(z0s, windows)]
+        starts_a = np.full(s_pad, sample_res, np.int32)
+        stops_a = np.full(s_pad, sample_res, np.int32)
+        starts_a[:n_devices] = z0s
+        stops_a[:n_devices] = z1s
+        stri, bounds = _stage2(
+            vmin_d, vmax_d, jnp.int32(n_real),
+            jnp.asarray(starts_a), jnp.asarray(stops_a),
+            jnp.int32(n_devices), s_pad=s_pad, group=group,
+        )
+        tableT = None
+        if (stri.shape[0] + slack_g) * group <= MAX_EARLY_GATHER_ROWS:
+            tableT = _gather_ordered(table, stri, slack=slack_g, group=group)
+        bounds_h = np.asarray(bounds)
+
+        per_dev = [dict() for _ in range(n_devices)]
+        segs_dev = [[] for _ in range(n_devices)]
+        for i in range(s_pad * 64):
+            r0, r1 = int(bounds_h[i]), int(bounds_h[i + 1])
+            if r1 == r0:
                 continue
-            segs_d = [
-                Segment(sg.z_lo, sg.z_hi, sg.k, sg.r0 + base, sg.r1 + base)
-                for sg in segs_d
-            ]
-            all_order.append(order_d)
-            base += order_d.size
-            sched: dict = {}
-            for expand, budget, r0, n_rows, local_base, wide_local in (
-                _schedule_passes(segs_d, max_budget)
+            d = i // 64
+            if d >= n_devices:
+                continue
+            segs_dev[d].append(
+                Segment(z0s[d], z1s[d], i % 64, r0 * group, r1 * group)
+            )
+        for d in range(n_devices):
+            sched = per_dev[d]
+            for expand, budget, r0, p_rows, local_base, wide_local in (
+                _schedule_passes(segs_dev[d], max_budget)
             ):
                 sched.setdefault((expand, budget, wide_local), []).append(
-                    (r0, n_rows, local_base, z0, z1)
+                    (r0, p_rows, local_base, z0s[d], z1s[d])
                 )
-            per_dev.append(sched)
-
-        if base == 0:
+        if not any(per_dev):
             continue
-        order = np.concatenate(all_order) if all_order else np.zeros(0, np.int32)
-        m_pad = _pow2_at_least(base + max_budget, 1 << 10)
-        order_pad = np.zeros(m_pad, np.int32)
-        order_pad[:base] = order
-        tableT = table[jnp.asarray(order_pad)].T
+        if tableT is None:
+            # capped: post-pull gather at the tight size
+            m_g = max(
+                (sg.r1 for segs in segs_dev for sg in segs), default=0
+            ) // group
+            m_pad_g = 1 << max(int(m_g + slack_g - 1).bit_length(), 10)
+            tableT = _gather_ordered(
+                table, stri, slack=0, group=group, pad_to=m_pad_g
+            )
 
         # --- aligned rounds per (expand, budget) class -----------------------
         classes = sorted({c for sched in per_dev for c in sched})
@@ -311,7 +372,8 @@ def voxelize_sharded(
         for cls in classes:
             expand, budget, wide_local = cls
             rounds = max(len(sched.get(cls, ())) for sched in per_dev)
-            fn = _sharded_pass(mesh, expand, budget, use_pallas, wide_local)
+            fn = _sharded_pass(mesh, expand, budget, use_pallas, wide_local,
+                               pack=_os.environ.get("O2V_PACK") != "0")
             for j in range(rounds):
                 metas = np.zeros((5, n_devices), np.int32)
                 for d, sched in enumerate(per_dev):
@@ -348,30 +410,23 @@ def voxelize_sharded(
         if not chunks:
             continue
 
-        # hierarchical fold against the merge ladder (same scheme as
-        # engine.stream_slabs) so one merge program never exceeds the top rung
+        # hierarchical fold against the merge ladder (grouping shared with
+        # engine.stream_slabs via plan_fold_chunks) so one merge program
+        # never exceeds the top rung
         while sum(k.shape[1] for k, _ in chunks) > MERGE_LADDER[-1]:
-            groups, cur, rows_acc = [], [], 0
-            for item in chunks:
-                if cur and rows_acc + item[0].shape[1] > MERGE_LADDER[-1]:
-                    groups.append(cur)
-                    cur, rows_acc = [], 0
-                cur.append(item)
-                rows_acc += item[0].shape[1]
-            if len(cur) == len(chunks):
+            before = sum(k.shape[1] for k, _ in chunks)
+            groups = plan_fold_chunks(
+                [k.shape[1] for k, _ in chunks], MERGE_LADDER[-1]
+            )
+            if len(groups) == 1:
                 break  # single oversized chunk: merge pads past the ladder
-            if cur:
-                groups.append(cur)
-            folded = [
-                _fold_group(g, mesh, n_devices, is_blend, use_pallas)
+            chunks = [
+                _fold_group([chunks[i] for i in g], mesh, n_devices,
+                            is_blend, use_pallas)
                 for g in groups
             ]
-            if sum(k.shape[1] for k, _ in folded) >= sum(
-                k.shape[1] for k, _ in chunks
-            ):
-                chunks = folded
+            if sum(k.shape[1] for k, _ in chunks) >= before:
                 break  # no progress (all rows distinct); pad past the ladder
-            chunks = folded
 
         total = sum(k.shape[1] for k, _ in chunks)
         rows = next((b for b in MERGE_LADDER if b >= total),
@@ -384,15 +439,14 @@ def voxelize_sharded(
         xyz, argb, counts = merge(
             cat_keys, *cat_chans, z_los, jnp.bool_(is_blend),
         )
+        # count-sliced pulls: the pow2 device slice bounds what crosses the
+        # link (the full merge buffers are rung-sized, mostly padding)
         counts = np.asarray(counts)
-        xyz = np.asarray(xyz)
-        argb = np.asarray(argb)
         for d in range(n_devices):
             c = int(counts[d])
             if c:
-                out_xyz.append(xyz[d, :c])
-                out_argb.append(argb[d, :c])
-
-    if not out_xyz:
-        return empty
-    return np.concatenate(out_xyz), np.concatenate(out_argb)
+                p2 = min(_pow2_at_least(c, 1 << 10), xyz.shape[1])
+                yield (
+                    np.asarray(xyz[d, :p2])[:c],
+                    np.asarray(argb[d, :p2])[:c],
+                )

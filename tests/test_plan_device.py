@@ -197,3 +197,55 @@ def test_group_engine_output_matches_ungrouped(monkeypatch):
     a = run(8)
     b = run(1)
     assert a == b
+
+
+def test_device_slab_scan_matches_host_greedy():
+    """_device_slabs == expand_bucket.slabs_from_rows for random histograms
+    (pair-granularity greedy == per-row greedy + align-down, see its
+    docstring)."""
+    import jax
+
+    from obj2voxel_tpu.ops.expand_bucket import slabs_from_rows
+    from obj2voxel_tpu.ops.plan_device import _SCAN_SLOTS, _device_slabs
+
+    rng = np.random.RandomState(3)
+    for trial in range(12):
+        z_extent = int(rng.choice([4, 16, 63, 64, 128]))
+        stride = int(rng.choice([16, 64, 1024, 4096]))
+        budget = int(rng.choice([1 << 8, 1 << 12, 1 << 16]))
+        per_row = (rng.rand(z_extent) * rng.choice([10, 1000, 100000])).astype(
+            np.float32
+        )
+        if trial == 0:
+            per_row[:] = 0.0  # empty mesh
+        host = slabs_from_rows(per_row, stride, z_extent, budget, align=2)
+        max_h = max(2, (2**31 - 2) // (stride * stride))
+        bounds, n = jax.jit(
+            _device_slabs, static_argnums=(1, 2, 3)
+        )(jnp.asarray(per_row), z_extent, budget, 2 * (max_h // 2))
+        n = int(n)
+        if n > _SCAN_SLOTS:
+            continue
+        bounds = np.asarray(bounds)
+        dev = [(int(bounds[i]), int(bounds[i + 1])) for i in range(n)]
+        assert dev == host, (trial, z_extent, stride, budget, dev, host)
+
+
+def test_fused_plan_matches_two_pull(monkeypatch):
+    """The single-pull fused planner returns the same order + segments as
+    the two-pull flow (any hint, including a too-small one that escalates)."""
+    arrays = _random_table(300, 64, seed=5)
+    n_pad = _pow2_at_least(300)
+    table = jnp.asarray(build_tri_table(*_pad_tris(list(arrays), n_pad)))
+    monkeypatch.setenv("O2V_PLAN_FUSED", "0")
+    order0, segs0 = plan_mesh_device(table, 300, 64, 64, 1 << 12)
+    monkeypatch.setenv("O2V_PLAN_FUSED", "1")
+    for hint in (None, 1, 8):
+        order1, segs1 = plan_mesh_device(
+            table, 300, 64, 64, 1 << 12, slab_hint=hint
+        )
+        assert segs1 == segs0, hint
+        m = segs0[-1].r1
+        np.testing.assert_array_equal(
+            np.asarray(order0)[:m], np.asarray(order1)[:m]
+        )
