@@ -1101,9 +1101,22 @@ def stream_slabs(
         # dead tail (measured as a ~0.2 s bench regression when 1.5x margin
         # pushed the 2M bench from s_pad=4 to 8), while a too-narrow one
         # costs a rare second stage-2 dispatch + pull
-        ext = (vmax_h.astype(np.int64) - vmin_h.astype(np.int64)).clip(min=0)
-        est_slots = float(ext.prod(axis=1, dtype=np.int64).sum())
+        # strided sample: the hint only picks a pow2 ladder rung, and the
+        # full 10M-row reduction measured 0.2-0.3 s of host time per run
+        # (catastrophically more when the CPU is contended) for a number the
+        # escalation path already guards
+        step = max(1, vmin_h.shape[0] >> 18)
+        ext = (
+            vmax_h[::step].astype(np.int64) - vmin_h[::step].astype(np.int64)
+        ).clip(min=0)
+        est_slots = float(ext.prod(axis=1, dtype=np.int64).sum()) * step
         slab_hint = int(est_slots / (4 * max_budget)) + 1
+        if timing:
+            print(
+                f"[o2v-timing]   hint {( _time.perf_counter() - _t0) * 1000:.0f}ms"
+                f" (est {est_slots:.3g} -> {slab_hint})",
+                flush=True,
+            )
         tableT_dev, segments = plan_mesh_device(
             tri_table, vmin_h.shape[0], stride, z_extent,
             slot_budget=4 * max_budget,
@@ -1168,6 +1181,7 @@ def stream_slabs(
     # in-kernel pack vs sort-based compact for NON-finalizing pass tails;
     # read per call and threaded as a STATIC arg (see _bucket_pass)
     pass_pack = _os.environ.get("O2V_PACK") != "0"
+    fused_env = _os.environ.get("O2V_FUSED") != "0"
     # Batching is OFF by default: the measured A/B on the chip (round 3,
     # 2M @ 1024^3) is 0.92 s unbatched vs 1.14 s batched — per-pass device
     # time dominates the ~6 ms dispatch floor it amortizes, and both the
@@ -1233,6 +1247,8 @@ def stream_slabs(
                 wide_local=wide_local,
                 finalize=not multi,
                 pack=pass_pack,
+                fused=(use_pallas and not wide_local
+                       and pixels.shape[0] == 1 and fused_env),
             )
             st["handles"][pi] = ("s", handle, len(count_parts))
             count_parts.append(handle[4])
@@ -1257,6 +1273,8 @@ def stream_slabs(
                         expand=expand, budget=budget, use_pallas=use_pallas,
                         ref_weights=ref_weights, wide_local=False,
                         finalize=False, pack=pass_pack,
+                        fused=(use_pallas and pixels.shape[0] == 1
+                               and fused_env),
                     )
                     st["handles"][pi] = ("s", handle, len(count_parts))
                     count_parts.append(handle[4])
@@ -1354,9 +1372,7 @@ def stream_slabs(
         # XLA fallback paths), and never under downscaling (the supersampled
         # merge defines its combine order by sorting AFTER downscale_keys).
         pass_runs_sorted = (
-            not pass_pack
-            or not use_pallas
-            or _os.environ.get("O2V_FUSED") == "0"
+            not pass_pack or not use_pallas or not fused_env
         )
         merge_runs_on = (
             _os.environ.get("O2V_MERGE_RUNS") == "1"

@@ -275,6 +275,7 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
         return None
 
     def finish(stri, tableT, bounds_h, starts, stops, s_pad):
+        _tf = _time.perf_counter() if timing else 0.0
         segments = []
         for i in range(s_pad * 64):
             r0, r1 = int(bounds_h[i]), int(bounds_h[i + 1])
@@ -286,6 +287,7 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
                 Segment(int(starts[s]), int(stops[s]), i % 64,
                         r0 * group, r1 * group)
             )
+        _tseg = _time.perf_counter() if timing else 0.0
         if not segments:
             return None, []
         if gather_slack is None:
@@ -297,6 +299,13 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
             m_pad_g = 1 << max(int(m_g + slack_g - 1).bit_length(), 10)
             tableT = _gather_ordered(
                 table, stri, slack=0, group=group, pad_to=m_pad_g
+            )
+        if timing:
+            print(
+                f"[o2v-timing]   plan-finish: segments "
+                f"{(_tseg - _tf) * 1000:.0f}ms gather-dispatch "
+                f"{(_time.perf_counter() - _tseg) * 1000:.0f}ms",
+                flush=True,
             )
         return tableT, segments
 

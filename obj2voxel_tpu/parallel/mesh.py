@@ -82,8 +82,8 @@ def _device_windows(z_extent: int, n_devices: int, align: int = 2):
 
 
 def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False,
-                  pack=True):
-    key = (id(mesh), expand, budget, use_pallas, wide_local, pack)
+                  pack=True, fused=None):
+    key = (id(mesh), expand, budget, use_pallas, wide_local, pack, fused)
     fn = _PASS_CACHE.get(key)
     if fn is not None:
         return fn
@@ -99,7 +99,7 @@ def _sharded_pass(mesh, expand, budget, use_pallas, wide_local=False,
         keys, chans, _xyz, _argb, count = _bucket_pass(
             tableT, pixels, meta, scal,
             expand=expand, budget=budget, use_pallas=use_pallas,
-            wide_local=wide_local, finalize=False, pack=pack,
+            wide_local=wide_local, finalize=False, pack=pack, fused=fused,
         )
         return (keys[None],) + tuple(c[None] for c in chans) + (count[None],)
 
@@ -372,8 +372,13 @@ def stream_sharded(
         for cls in classes:
             expand, budget, wide_local = cls
             rounds = max(len(sched.get(cls, ())) for sched in per_dev)
-            fn = _sharded_pass(mesh, expand, budget, use_pallas, wide_local,
-                               pack=_os.environ.get("O2V_PACK") != "0")
+            fn = _sharded_pass(
+                mesh, expand, budget, use_pallas, wide_local,
+                pack=_os.environ.get("O2V_PACK") != "0",
+                fused=(use_pallas and not wide_local
+                       and pixels_np.shape[0] == 1
+                       and _os.environ.get("O2V_FUSED") != "0"),
+            )
             for j in range(rounds):
                 metas = np.zeros((5, n_devices), np.int32)
                 for d, sched in enumerate(per_dev):
