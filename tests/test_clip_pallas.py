@@ -4,6 +4,7 @@ This is the serial-vs-parallel oracle pattern the reference relies on
 (SURVEY.md section 4): the jnp implementation is the ground truth for the TPU
 kernel."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -54,3 +55,21 @@ def test_pallas_boundary_semantics():
     )
     assert float(w_hi[0]) > 0
     assert float(w_lo[0]) == 0.0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop all live jitted executables before this module compiles its big
+    Pallas programs: XLA's CPU backend segfaulted inside
+    backend_compile_and_load when these compiles ran ~65% into the full
+    suite with GBs of accumulated JITed modules, while the same compile in
+    a fresh process succeeds (round-5 suite logs).  Freeing compile state
+    first keeps the trigger away; the cost is re-JITting shared small
+    programs once per heavy module."""
+    import gc
+
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()
+    yield

@@ -119,3 +119,21 @@ def test_single_run_spanning_everything():
     assert oc == cc == 1
     np.testing.assert_allclose(cv[0], ov[0], rtol=2e-6)
     np.testing.assert_allclose(cv[0, 0], P * 0.25, rtol=1e-5)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop all live jitted executables before this module compiles its big
+    Pallas programs: XLA's CPU backend segfaulted inside
+    backend_compile_and_load when these compiles ran ~65% into the full
+    suite with GBs of accumulated JITed modules, while the same compile in
+    a fresh process succeeds (round-5 suite logs).  Freeing compile state
+    first keeps the trigger away; the cost is re-JITting shared small
+    programs once per heavy module."""
+    import gc
+
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()
+    yield

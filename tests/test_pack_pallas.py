@@ -176,3 +176,21 @@ def test_merge_after_pack_matches_merge_after_sort(is_blend):
     np.testing.assert_array_equal(np.asarray(mk1)[:n1], np.asarray(mk2)[:n2])
     for a, b in zip(mc1, mc2):
         np.testing.assert_array_equal(np.asarray(a)[:n1], np.asarray(b)[:n2])
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop all live jitted executables before this module compiles its big
+    Pallas programs: XLA's CPU backend segfaulted inside
+    backend_compile_and_load when these compiles ran ~65% into the full
+    suite with GBs of accumulated JITed modules, while the same compile in
+    a fresh process succeeds (round-5 suite logs).  Freeing compile state
+    first keeps the trigger away; the cost is re-JITting shared small
+    programs once per heavy module."""
+    import gc
+
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()
+    yield

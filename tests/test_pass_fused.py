@@ -152,3 +152,21 @@ def test_batched_pass_matches_single(expand):
             )
         covered += int(count)
     assert covered > 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _fresh_compile_state():
+    """Drop all live jitted executables before this module compiles its big
+    Pallas programs: XLA's CPU backend segfaulted inside
+    backend_compile_and_load when these compiles ran ~65% into the full
+    suite with GBs of accumulated JITed modules, while the same compile in
+    a fresh process succeeds (round-5 suite logs).  Freeing compile state
+    first keeps the trigger away; the cost is re-JITting shared small
+    programs once per heavy module."""
+    import gc
+
+    import jax as _jax
+
+    _jax.clear_caches()
+    gc.collect()
+    yield
