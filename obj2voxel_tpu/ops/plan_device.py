@@ -316,7 +316,14 @@ def plan_mesh_device(table, n_sub, stride, z_extent, slot_budget, align=2,
         stops[: len(slabs)] = [s[1] for s in slabs]
         return starts, stops
 
-    if _os.environ.get("O2V_PLAN_FUSED") != "0":
+    # The fused single-pull flow exists to remove a ~33 ms RELAY pull; on
+    # the CPU backend there is no relay, and _stage12's fused program (whose
+    # static-arg space is the product of stride/z_extent/budget/s_pad/group)
+    # measured MINUTES of XLA CPU compile per variant -- it single-handedly
+    # stalled the round-5 test suite.  Default it on for devices only;
+    # O2V_PLAN_FUSED=1/0 still forces either flow anywhere.
+    fused_default = "0" if jax.default_backend() == "cpu" else "1"
+    if _os.environ.get("O2V_PLAN_FUSED", fused_default) != "0":
         # single-pull fused flow; s_pad speculated from the caller's hint
         hint = max(1, int(slab_hint) if slab_hint else 8)
         s_pad = next(
